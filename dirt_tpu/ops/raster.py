@@ -1,0 +1,150 @@
+"""The differentiable rasterization op: forward kernel + custom VJP.
+
+This is the TPU-native equivalent of the reference's op pair
+``Rasterise`` / ``RasteriseGrad`` plus its Python gradient registration
+(``dirt/rasterise_ops.py`` — ``@ops.RegisterGradient('Rasterise')``;
+SURVEY.md sections 2.1, 2.2, 3.1, 3.2), collapsed into one
+``jax.custom_vjp`` around pure-JAX triangle setup, binning, and the Pallas
+scan-conversion kernel.
+
+Differentiation boundary: ``rasterize_screen`` takes *screen-space* face
+vertex data ``[F, 3, 4]`` (x_s, y_s, z_ndc, 1/w) and per-face vertex
+attributes ``[F, 3, C]``. Everything upstream (vertex gather by faces,
+clip -> screen transform, model/view/projection) is ordinary differentiable
+JAX, so gradients reach object-space vertices, camera and lights through
+the chain rule. Gradients returned:
+
+* d attrs: exact (barycentric scatter).
+* d vertex x_s, y_s: exact interior term + approximate occlusion-aware
+  boundary term (DIRT semantics).
+* d invw: exact interior (perspective-correction) term.
+* d z_ndc: zero — the depth test is winner-take-all; visibility changes are
+  carried by the boundary term, matching the reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dirt_tpu import config as cfg
+from dirt_tpu.ops import binning
+from dirt_tpu.ops.raster_bwd import backward_jax
+from dirt_tpu.ops.raster_fwd import raster_forward
+from dirt_tpu.ops.triangle_setup import (
+    GEO_WIDTH,
+    face_bboxes,
+    setup_planes,
+)
+
+
+class RasterConfig(NamedTuple):
+    """Static kernel configuration (hashable; a custom_vjp nondiff arg)."""
+
+    tile_h: int = cfg.TILE_H
+    tile_w: int = cfg.TILE_W
+    bin_cap: int = cfg.DEFAULT_BIN_CAP
+
+
+def _pad_to(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def _sentinel_geo_row():
+    """Plane row for the padding face: covers nothing, finite denominator."""
+    row = jnp.zeros((1, GEO_WIDTH), jnp.float32)
+    # Edge c0 values (offsets GEO_EDGE + 2, 5, 8) = -1: nothing is inside.
+    row = row.at[0, 4].set(-1.0).at[0, 7].set(-1.0).at[0, 10].set(-1.0)
+    row = row.at[0, 16].set(1.0)  # den c0 = 1: finite reciprocal
+    return row
+
+
+def _forward_impl(face_verts_screen, face_attrs, background, config):
+    height, width, channels = background.shape
+    tile_h, tile_w, cap = config.tile_h, config.tile_w, config.bin_cap
+    num_faces = face_verts_screen.shape[0]
+    cap = min(cap, max(num_faces, 1))
+
+    geo, att, valid = setup_planes(face_verts_screen, face_attrs)
+    bbox = face_bboxes(face_verts_screen, valid, height, width)
+    bins = binning.bin_faces(bbox, height, width, tile_h, tile_w, cap)
+
+    geo_p = jnp.concatenate([geo, _sentinel_geo_row()], axis=0)
+    att_p = jnp.concatenate(
+        [att, jnp.zeros((1, att.shape[1]), jnp.float32)], axis=0
+    )
+    binned_geo = geo_p[bins.bins]     # [T, cap, 16]
+    binned_att = att_p[bins.bins]     # [T, cap, 3C]
+
+    hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
+    bg_chw = jnp.transpose(background, (2, 0, 1))
+    bg_chw = jnp.pad(bg_chw, ((0, 0), (0, hp - height), (0, wp - width)))
+
+    pixels_chw, fid, zbuf = raster_forward(
+        binned_geo, binned_att, bins.bins, bins.counts, bg_chw,
+        tile_h=tile_h, tile_w=tile_w,
+    )
+
+    pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
+    fid = fid[:height, :width]
+    zbuf = zbuf[:height, :width]
+    return pixels, fid, zbuf, bins.overflow
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def rasterize_screen(face_verts_screen, face_attrs, background, config):
+    """Rasterize screen-space faces over a background image.
+
+    Args:
+        face_verts_screen: [F, 3, 4] f32 (x_s, y_s, z_ndc, invw).
+        face_attrs: [F, 3, C] f32.
+        background: [H, W, C] f32.
+        config: RasterConfig (static).
+    Returns:
+        (pixels [H, W, C] f32,
+         fid [H, W] int32 — face id per pixel, -1 = background (non-diff),
+         zbuf [H, W] f32 — screen-space depth, BIG_Z at background
+         (non-diff)).
+    """
+    pixels, fid, zbuf, _ = _forward_impl(
+        face_verts_screen, face_attrs, background, config
+    )
+    return pixels, fid, zbuf
+
+
+def _fwd(face_verts_screen, face_attrs, background, config):
+    pixels, fid, zbuf, _ = _forward_impl(
+        face_verts_screen, face_attrs, background, config
+    )
+    residuals = (face_verts_screen, face_attrs, pixels, fid, zbuf)
+    return (pixels, fid, zbuf), residuals
+
+
+def _bwd(config, residuals, cotangents):
+    face_verts_screen, face_attrs, pixels, fid, zbuf = residuals
+    grad_pixels = cotangents[0]
+
+    def planes(fv, fa):
+        geo, att, _ = setup_planes(fv, fa)
+        return geo, att
+
+    (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
+    d_geo, d_att, d_background = backward_jax(
+        geo, att, fid, zbuf, pixels, grad_pixels
+    )
+    d_fv, d_fa = vjp_fn((d_geo, d_att))
+    return d_fv, d_fa, d_background
+
+
+rasterize_screen.defvjp(_fwd, _bwd)
+
+
+def check_bin_overflow(face_verts_screen, face_attrs, background, config):
+    """Returns the per-tile overflow flags for a given scene (diagnostics)."""
+    _, _, _, overflow = _forward_impl(
+        face_verts_screen, face_attrs, background, config
+    )
+    return overflow

@@ -1,0 +1,185 @@
+"""Differentiable triangle setup: screen transform and plane coefficients.
+
+TPU-first design note (SURVEY.md section 7): the reference's GL pipeline does
+per-triangle setup in fixed-function hardware. Here setup happens in pure
+JAX, producing *affine plane coefficients* per face — oriented edge
+functions, screen-space depth, the perspective denominator ``sum_k b_k/w_k``
+and per-channel attribute numerators ``sum_k b_k attr_k / w_k`` — so the
+Pallas scan-conversion kernel only ever evaluates planes over pixel tiles
+(pure VPU FMAs, no per-pixel divides except one reciprocal).
+
+Numerical design: planes are stored in **anchored form**. Each face carries
+its vertex-0 screen position ``(ax, ay)`` and every plane is
+``P(x, y) = a * (x - ax) + b * (y - ay) + c0`` with ``c0`` the plane value
+*at the anchor*. Anchor values are exact by construction (edge 1 and edge 2
+pass through vertex 0, so their c0 is literally 0; edge 0's is |2*area|;
+z's is z0; the denominator's is 1/w0), and the (a, b) slopes are built from
+coordinate *differences* — so there is no catastrophic cancellation in f32
+even at 1024^2+ resolutions, unlike the naive global form
+``C = x_a y_b - x_b y_a``.
+
+Because setup is differentiable JAX, the custom_vjp backward only needs
+gradients w.r.t. these coefficients; ``jax.vjp`` of ``setup_planes`` chains
+them to screen vertex positions, 1/w and attributes exactly. A plane
+depends on the anchor only through ``c_global = c0 - a*ax - b*ay``, so the
+anchor cotangents are ``d_ax = -sum_p a_p * d_c0_p`` (resp. ``b_p``) — the
+backward computes per-plane (da, db, dc0) and derives the anchor terms.
+
+Geometry layout of the packed ``geo`` array ([F, 24] f32):
+
+    0, 1    ax, ay (vertex-0 screen position — the anchor)
+    2:11    a_j, b_j, c0_j for oriented edges j = 0, 1, 2
+            (edge j opposite vertex j; E_j >= 0 inside for valid faces)
+    11:14   z plane (OpenGL rule: z_ndc linear in screen space)
+    14:17   denominator plane (sum_k b_k / w_k)
+    17:24   unused (padding)
+
+Attribute numerators are packed [F, 3*C]: channel c holds (na, nb, nc0) at
+3c:3c+3 with ``nc0 = attr_0c / w_0``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+AREA_EPS = 1e-10
+W_EPS = 1e-9
+
+GEO_WIDTH = 24
+# Field offsets within a geo row.
+GEO_AX, GEO_AY = 0, 1
+GEO_EDGE = 2          # 9 values: (a, b, c0) x 3 edges
+GEO_Z = 11            # 3 values
+GEO_DEN = 14          # 3 values
+
+
+def screen_from_clip(vertices_clip, height: int, width: int):
+    """Clip space [..., 4] -> screen space (x_s, y_s, z_ndc, invw).
+
+    ``x_s = (x_ndc + 1)/2 * W``; ``y_s = (1 - y_ndc)/2 * H`` (row 0 = top);
+    pixel (i, j) center is (j + 0.5, i + 0.5). Vertices with w <= W_EPS get
+    invw <= 0, which marks their faces invalid in ``setup_planes``
+    (near-plane culling; true homogeneous clipping is a planned extension).
+    """
+    v = jnp.asarray(vertices_clip)
+    w = v[..., 3]
+    safe_w = jnp.where(jnp.abs(w) > W_EPS, w, 1.0)
+    invw = jnp.where(jnp.abs(w) > W_EPS, 1.0 / safe_w, 0.0)
+    x_ndc = v[..., 0] * invw
+    y_ndc = v[..., 1] * invw
+    z_ndc = v[..., 2] * invw
+    x_s = (x_ndc + 1.0) * 0.5 * width
+    y_s = (1.0 - y_ndc) * 0.5 * height
+    return jnp.stack([x_s, y_s, z_ndc, invw], axis=-1)
+
+
+def setup_planes(face_verts_screen, face_attrs):
+    """Per-face anchored plane coefficients for the raster kernels.
+
+    Args:
+        face_verts_screen: [F, 3, 4] (x_s, y_s, z_ndc, invw).
+        face_attrs: [F, 3, C].
+    Returns:
+        geo [F, 24] f32, att [F, 3*C] f32, valid [F] bool.
+    Fully differentiable w.r.t. both array inputs (orientation and validity
+    are piecewise constant, as in the reference's semantics).
+    """
+    fv = jnp.asarray(face_verts_screen, jnp.float32)
+    fa = jnp.asarray(face_attrs, jnp.float32)
+    num_faces = fv.shape[0]
+    channels = fa.shape[-1]
+
+    x, y, z, invw = fv[..., 0], fv[..., 1], fv[..., 2], fv[..., 3]  # [F, 3]
+    area2 = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (
+        y[:, 1] - y[:, 0]
+    ) * (x[:, 2] - x[:, 0])
+    orient = jnp.where(area2 >= 0.0, 1.0, -1.0)
+    valid = (jnp.abs(area2) > AREA_EPS) & jnp.all(invw > 0.0, axis=1)
+
+    # Edge j from vertex (j+1)%3 to (j+2)%3 (opposite vertex j).
+    ia = jnp.array([1, 2, 0])
+    ib = jnp.array([2, 0, 1])
+    xa, ya = x[:, ia], y[:, ia]  # [F, 3]
+    xb, yb = x[:, ib], y[:, ib]
+    a_e = orient[:, None] * (ya - yb)
+    b_e = orient[:, None] * (xb - xa)
+    abs_area = orient * area2  # == |area2|, differentiable through area2
+    # Edge values at the anchor (vertex 0): edge 0 evaluates to 2*|area|,
+    # edges 1 and 2 pass through vertex 0 (exactly zero).
+    zeros = jnp.zeros_like(abs_area)
+    c_e = jnp.stack([abs_area, zeros, zeros], axis=1)
+
+    # Invalid faces: edges that exclude every pixel.
+    a_e = jnp.where(valid[:, None], a_e, 0.0)
+    b_e = jnp.where(valid[:, None], b_e, 0.0)
+    c_e = jnp.where(valid[:, None], c_e, -1.0)
+
+    inv_area = jnp.where(valid, 1.0 / jnp.where(valid, abs_area, 1.0), 0.0)
+
+    # Barycentric slope planes b_k = E_k / |area2|; affine combinations give
+    # the z / denominator / numerator slopes. Anchor values come directly
+    # from vertex 0 (exact), not from the combination.
+    def combine_slopes(weights):  # [F, 3] -> (a, b) of the combined plane
+        wa = jnp.sum(weights * a_e, axis=1) * inv_area
+        wb = jnp.sum(weights * b_e, axis=1) * inv_area
+        return wa, wb
+
+    za, zb = combine_slopes(z)
+    zc = jnp.where(valid, z[:, 0], 0.0)
+    da, db = combine_slopes(invw)
+    dc = jnp.where(valid, invw[:, 0], 1.0)
+
+    geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
+    geo = geo.at[:, GEO_AX].set(jnp.where(valid, x[:, 0], 0.0))
+    geo = geo.at[:, GEO_AY].set(jnp.where(valid, y[:, 0], 0.0))
+    geo = geo.at[:, GEO_EDGE + 0:GEO_EDGE + 9:3].set(a_e)
+    geo = geo.at[:, GEO_EDGE + 1:GEO_EDGE + 9:3].set(b_e)
+    geo = geo.at[:, GEO_EDGE + 2:GEO_EDGE + 9:3].set(c_e)
+    geo = geo.at[:, GEO_Z].set(za)
+    geo = geo.at[:, GEO_Z + 1].set(zb)
+    geo = geo.at[:, GEO_Z + 2].set(zc)
+    geo = geo.at[:, GEO_DEN].set(da)
+    geo = geo.at[:, GEO_DEN + 1].set(db)
+    geo = geo.at[:, GEO_DEN + 2].set(dc)
+
+    att = jnp.zeros((num_faces, 3 * channels), jnp.float32)
+    weighted = fa * invw[..., None]  # [F, 3, C]
+    for c in range(channels):
+        na, nb = combine_slopes(weighted[..., c])
+        nc = jnp.where(valid, weighted[:, 0, c], 0.0)
+        att = att.at[:, 3 * c].set(na)
+        att = att.at[:, 3 * c + 1].set(nb)
+        att = att.at[:, 3 * c + 2].set(nc)
+
+    return geo, att, valid
+
+
+def face_bboxes(face_verts_screen, valid, height: int, width: int):
+    """Conservative pixel-index bounding boxes for binning (non-diff).
+
+    Returns [F, 4] int32 (xmin, xmax, ymin, ymax) inclusive pixel indices;
+    empty boxes are encoded with max < min. Faces entirely outside the
+    z in [-1, 1] range are also culled here.
+    """
+    fv = jnp.asarray(face_verts_screen, jnp.float32)
+    x, y, z = fv[..., 0], fv[..., 1], fv[..., 2]
+
+    xmin = jnp.floor(jnp.min(x, axis=1) - 0.5).astype(jnp.int32)
+    xmax = jnp.ceil(jnp.max(x, axis=1) - 0.5).astype(jnp.int32)
+    ymin = jnp.floor(jnp.min(y, axis=1) - 0.5).astype(jnp.int32)
+    ymax = jnp.ceil(jnp.max(y, axis=1) - 0.5).astype(jnp.int32)
+
+    onscreen = (
+        (xmax >= 0) & (xmin <= width - 1) & (ymax >= 0) & (ymin <= height - 1)
+        & (jnp.min(z, axis=1) <= 1.0) & (jnp.max(z, axis=1) >= -1.0)
+    )
+    keep = valid & onscreen
+
+    xmin = jnp.clip(xmin, 0, width - 1)
+    xmax = jnp.clip(xmax, 0, width - 1)
+    ymin = jnp.clip(ymin, 0, height - 1)
+    ymax = jnp.clip(ymax, 0, height - 1)
+
+    empty = jnp.array([0, -1, 0, -1], jnp.int32)
+    bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
+    return jnp.where(keep[:, None], bbox, empty[None, :])
