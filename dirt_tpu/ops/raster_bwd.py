@@ -141,7 +141,9 @@ def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels):
         else:
             front = zbuf <= nz
         active = pair & front
-        s_val = jnp.sum(ng * (pixels - npix), axis=-1)  # [H, W]
+        s_val = 0.5 * jnp.sum(
+            (grad_pixels + ng) * (pixels - npix), axis=-1
+        )  # [H, W]
 
         # Crossing-edge selection on the own (front) face's edges.
         chosen = jnp.zeros((height, width), jnp.bool_)

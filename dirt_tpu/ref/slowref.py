@@ -27,8 +27,11 @@ Boundary-gradient model (DIRT-style, occlusion-aware — assigned to the
 *frontmost* face's crossing edge; SURVEY.md section 3.2):
 
 For each horizontally / vertically adjacent pixel pair with different face
-ids, the front pixel is the one with smaller zbuf. Let ``S = sum_c
-grad_pixels[back, c] * (pixels[front, c] - pixels[back, c])``. The crossing
+ids, the front pixel is the one with smaller zbuf. Let ``S = 0.5 * sum_c
+(grad_pixels[front, c] + grad_pixels[back, c]) * (pixels[front, c] -
+pixels[back, c])`` — both pixels' intensities change as the edge sweeps the
+pair (each across half the sub-pixel window, hence the 1/2; a one-sided
+form is blind to loss signal on the covered side). The crossing
 edge of the front face is the lowest-index edge with ``E >= 0`` at the front
 pixel center and ``E < 0`` at the back pixel center. Writing that edge's
 oriented plane as ``E(x, y) = A x + B y + C``, the pair contributes
@@ -240,8 +243,8 @@ def oracle_edge_grads(face_verts_screen, pixels, grad_pixels, fid, zbuf):
         f = fid[py_f, px_f]
         if f < 0:
             return
-        s_val = np.dot(
-            g[py_b, px_b], img[py_f, px_f] - img[py_b, px_b]
+        s_val = 0.5 * np.dot(
+            g[py_f, px_f] + g[py_b, px_b], img[py_f, px_f] - img[py_b, px_b]
         )
         if s_val == 0.0:
             return
