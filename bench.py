@@ -1,0 +1,113 @@
+"""Benchmark: forward+backward rasterization throughput (BASELINE.json metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Scene: ~10k-triangle UV sphere, perspective camera, 3 color channels,
+1024x1024 (plus a 256x256 secondary measurement in the human-readable log).
+value = Mpixels/s for one fused forward+backward step (render + L2 loss +
+gradients w.r.t. vertices and colors), median of repeated timed runs.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the divisor
+is this framework's round-1 first measurement on one TPU v5e chip, so the
+series tracks self-improvement.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+
+from dirt_tpu.core import matrices, mesh  # noqa: E402
+from dirt_tpu.ops.raster import RasterConfig  # noqa: E402
+import dirt_tpu  # noqa: E402
+
+# Round-1 first measurement on one TPU v5e chip (Mpix/s fwd+bwd at 1024^2,
+# 10k-tri sphere). Later rounds divide by this to show self-improvement.
+BASELINE_MPIX_S = 12.12
+
+
+def build(size):
+    verts_obj, faces, _ = mesh.uv_sphere(n_lat=72, n_lon=72)
+    mv = matrices.compose(
+        matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
+        matrices.translation(jnp.array([0.0, 0.0, -3.0])),
+    )
+    proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
+    clip = matrices.transform_homogeneous(
+        jnp.asarray(verts_obj), matrices.compose(mv, proj)
+    )
+    colors = jnp.asarray(
+        np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32
+    )
+    bg = jnp.zeros((size, size, 3), jnp.float32)
+    weights = jnp.asarray(
+        np.random.RandomState(1).rand(size, size, 3), jnp.float32
+    )
+    return clip, colors, jnp.asarray(faces), bg, weights, len(verts_obj)
+
+
+def bench_size(size, config=None, repeats=20):
+    config = config or RasterConfig()
+    clip, colors, faces, bg, weights, _ = build(size)
+
+    def loss(clip, colors, bg):
+        img = dirt_tpu.rasterise(bg, clip, colors, faces, config=config)
+        return jnp.sum(img * weights)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    fwd = jax.jit(
+        lambda c, co, b: dirt_tpu.rasterise(b, c, co, faces, config=config)
+    )
+
+    # Warm up / compile.
+    jax.block_until_ready(step(clip, colors, bg))
+    jax.block_until_ready(fwd(clip, colors, bg))
+
+    def timed(fn, *args):
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_full = timed(step, clip, colors, bg)     # fwd+bwd
+    t_fwd = timed(fwd, clip, colors, bg)
+    mpix = size * size / 1e6
+    return {
+        "size": size,
+        "fwd_ms": t_fwd * 1e3,
+        "fwdbwd_ms": t_full * 1e3,
+        "fwd_mpix_s": mpix / t_fwd,
+        "fwdbwd_mpix_s": mpix / t_full,
+    }
+
+
+def main():
+    backend = jax.default_backend()
+    r256 = bench_size(256)
+    r1024 = bench_size(1024)
+    for r in (r256, r1024):
+        print(
+            f"# {r['size']}^2: fwd {r['fwd_ms']:.2f} ms "
+            f"({r['fwd_mpix_s']:.1f} Mpix/s), fwd+bwd {r['fwdbwd_ms']:.2f} ms "
+            f"({r['fwdbwd_mpix_s']:.1f} Mpix/s) [{backend}]",
+            file=sys.stderr,
+        )
+    value = r1024["fwdbwd_mpix_s"]
+    print(json.dumps({
+        "metric": "Mpix/s fwd+bwd, 1024^2, 10k-tri sphere, 1 chip",
+        "value": round(value, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(value / BASELINE_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

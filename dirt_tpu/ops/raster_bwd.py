@@ -54,7 +54,7 @@ def _shift(arr, axis, offset, fill):
     return jnp.where(valid, rolled, fill)
 
 
-def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels):
+def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels, own_mask=None):
     """Gradients w.r.t. plane coefficients.
 
     Args:
@@ -64,6 +64,10 @@ def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels):
         zbuf: [H, W] f32 (BIG_Z at background).
         pixels: [H, W, C] forward output.
         grad_pixels: [H, W, C] upstream cotangent.
+        own_mask: optional [H, W] bool — pixels this shard OWNS. Non-owned
+            (halo) rows supply neighbor-side data for boundary pairs but
+            never act as the front/interior pixel, so each cross-shard pair
+            is counted by exactly one device (front-pixel ownership).
     Returns:
         (d_geo [F, 24], d_att [F, 3*C], d_background [H, W, C]).
     """
@@ -74,6 +78,8 @@ def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels):
     channels = pixels.shape[-1]
 
     covered = fid >= 0
+    if own_mask is not None:
+        covered = covered & own_mask
     safe_fid = jnp.maximum(fid, 0)
     g16 = geo[safe_fid]          # [H, W, 24]
     a3c = att[safe_fid]          # [H, W, 3C]
