@@ -14,7 +14,6 @@ series tracks self-improvement.
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -25,11 +24,15 @@ sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
 from dirt_tpu.core import matrices, mesh  # noqa: E402
 from dirt_tpu.ops.raster import RasterConfig  # noqa: E402
+from dirt_tpu.utils.benchtime import device_time  # noqa: E402
 import dirt_tpu  # noqa: E402
 
-# Round-1 first measurement on one TPU v5e chip (Mpix/s fwd+bwd at 1024^2,
-# 10k-tri sphere). Later rounds divide by this to show self-improvement.
-BASELINE_MPIX_S = 12.12
+# Round-1 first *honest* measurement on one TPU v5e chip (Mpix/s fwd+bwd at
+# 1024^2, 10k-tri sphere), measured with utils/benchtime.device_time (the
+# axon transport pipelines dispatch, so naive block_until_ready loops
+# measure enqueue rate, not device time). Later rounds divide by this to
+# show self-improvement.
+BASELINE_MPIX_S = 18.8
 
 
 def build(size):
@@ -60,25 +63,11 @@ def bench_size(size, config=None, repeats=20):
         img = dirt_tpu.rasterise(bg, clip, colors, faces, config=config)
         return jnp.sum(img * weights)
 
-    step = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    fwd = jax.jit(
-        lambda c, co, b: dirt_tpu.rasterise(b, c, co, faces, config=config)
-    )
+    step = jax.grad(loss, argnums=(0, 1, 2))
+    fwd = lambda c, co, b: dirt_tpu.rasterise(b, c, co, faces, config=config)
 
-    # Warm up / compile.
-    jax.block_until_ready(step(clip, colors, bg))
-    jax.block_until_ready(fwd(clip, colors, bg))
-
-    def timed(fn, *args):
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times))
-
-    t_full = timed(step, clip, colors, bg)     # fwd+bwd
-    t_fwd = timed(fwd, clip, colors, bg)
+    t_full = device_time(step, (clip, colors, bg))     # fwd+bwd
+    t_fwd = device_time(fwd, (clip, colors, bg))
     mpix = size * size / 1e6
     return {
         "size": size,

@@ -33,9 +33,8 @@ import jax.numpy as jnp
 from dirt_tpu import config as cfg
 from dirt_tpu.ops import binning
 from dirt_tpu.ops.raster_bwd import backward_jax
-from dirt_tpu.ops.raster_fwd import raster_forward
+from dirt_tpu.ops.raster_fwd import pack_face_table, raster_forward
 from dirt_tpu.ops.triangle_setup import (
-    GEO_WIDTH,
     face_bboxes,
     setup_planes,
 )
@@ -53,15 +52,6 @@ def _pad_to(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
-def _sentinel_geo_row():
-    """Plane row for the padding face: covers nothing, finite denominator."""
-    row = jnp.zeros((1, GEO_WIDTH), jnp.float32)
-    # Edge c0 values (offsets GEO_EDGE + 2, 5, 8) = -1: nothing is inside.
-    row = row.at[0, 4].set(-1.0).at[0, 7].set(-1.0).at[0, 10].set(-1.0)
-    row = row.at[0, 16].set(1.0)  # den c0 = 1: finite reciprocal
-    return row
-
-
 def _forward_impl(face_verts_screen, face_attrs, background, config):
     height, width, channels = background.shape
     tile_h, tile_w, cap = config.tile_h, config.tile_w, config.bin_cap
@@ -71,20 +61,14 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     geo, att, valid = setup_planes(face_verts_screen, face_attrs)
     bbox = face_bboxes(face_verts_screen, valid, height, width)
     bins = binning.bin_faces(bbox, height, width, tile_h, tile_w, cap)
-
-    geo_p = jnp.concatenate([geo, _sentinel_geo_row()], axis=0)
-    att_p = jnp.concatenate(
-        [att, jnp.zeros((1, att.shape[1]), jnp.float32)], axis=0
-    )
-    binned_geo = geo_p[bins.bins]     # [T, cap, 16]
-    binned_att = att_p[bins.bins]     # [T, cap, 3C]
+    table = pack_face_table(geo, att)
 
     hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
     bg_chw = jnp.transpose(background, (2, 0, 1))
     bg_chw = jnp.pad(bg_chw, ((0, 0), (0, hp - height), (0, wp - width)))
 
     pixels_chw, fid, zbuf = raster_forward(
-        binned_geo, binned_att, bins.bins, bins.counts, bg_chw,
+        table, bins.bins, bins.counts, bg_chw,
         tile_h=tile_h, tile_w=tile_w,
     )
 

@@ -2,15 +2,21 @@
 
 TPU-native replacement for the reference's GL forward op
 (``csrc/rasterise_egl.cpp`` — REGISTER_OP("Rasterise"); SURVEY.md section
-2.1): the grid walks image tiles; each grid step streams that tile's binned
-face planes (HBM -> VMEM, pipelined by Pallas) and scan-converts them with a
-z-buffered fori_loop. All per-pixel work is affine plane evaluation on the
-VPU plus one reciprocal for the perspective division.
+2.1): the grid walks image tiles; each grid step scan-converts that tile's
+binned faces with a z-buffered fori_loop. All per-pixel work is affine plane
+evaluation on the VPU plus one reciprocal for the perspective division.
+
+Data movement (TPU-first design): the packed per-face plane table
+(geometry planes + attribute numerator planes, one row per face) stays
+**resident in VMEM** for the whole grid, and the kernel gathers each binned
+face's row with a dynamic sublane index. Per-tile face-id lists are small
+int32 blocks in SMEM, so loop indices and ids are scalar reads. This
+replaces the XLA-level ``table[bins]`` pre-gather, which materializes a
+[T, cap, width] tensor through TPU's slow row-gather path (measured ~35 ms
+for 256x1024 rows — more than the whole kernel).
 
 Layouts: images are channels-first [C, H, W] inside the op (lane dimension =
-W, 128-aligned); the public wrapper converts from/to [H, W, C]. Per-tile bin
-id lists live in SMEM so the loop can read face ids as scalars; plane data
-is read as dynamic sublane rows of VMEM blocks.
+W, 128-aligned); the public wrapper converts from/to [H, W, C].
 """
 
 from __future__ import annotations
@@ -23,13 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dirt_tpu import config as cfg
-from dirt_tpu.ops.triangle_setup import GEO_WIDTH
+from dirt_tpu.ops.triangle_setup import GEO_USED
 
 BIG_Z = 3.0e38  # z-buffer clear value (acts as +inf in f32 compares)
 
 
 def _fwd_kernel(
-    counts_ref, bins_ref, geo_ref, att_ref, bg_ref,
+    counts_ref, bins_ref, table_ref, bg_ref,
     pix_ref, fid_ref, z_ref,
     *, channels: int, tile_h: int, tile_w: int, tiles_x: int,
 ):
@@ -46,7 +52,8 @@ def _fwd_kernel(
 
     def body(i, carry):
         zbuf, fid, pix = carry
-        g = geo_ref[0, i, :]
+        face_id = bins_ref[0, 0, i]       # scalar read from SMEM
+        g = table_ref[face_id, :]         # dynamic row gather from VMEM
         dx = xg - g[0]   # anchored coordinates (see triangle_setup)
         dy = yg - g[1]
         e0 = g[2] * dx + g[3] * dy + g[4]
@@ -57,12 +64,14 @@ def _fwd_kernel(
         mask = inside & (zv < zbuf) & (zv >= -1.0) & (zv <= 1.0)
         den = g[14] * dx + g[15] * dy + g[16]
         recip = 1.0 / den
-        face_id = bins_ref[0, i, 0]
-        a = att_ref[0, i, :]
         new_pix = tuple(
             jnp.where(
                 mask,
-                (a[3 * c] * dx + a[3 * c + 1] * dy + a[3 * c + 2]) * recip,
+                (
+                    g[GEO_USED + 3 * c] * dx
+                    + g[GEO_USED + 3 * c + 1] * dy
+                    + g[GEO_USED + 3 * c + 2]
+                ) * recip,
                 pix[c],
             )
             for c in range(channels)
@@ -84,25 +93,48 @@ def _fwd_kernel(
         pix_ref[c] = pix[c]
 
 
+def pack_face_table(geo, att):
+    """Pack per-face geometry and attribute planes into one VMEM table.
+
+    Returns [Fp, GEO_USED + 3C] f32 with one sentinel row appended (index
+    F — the bin fill value; covers nothing, finite denominator) and rows
+    padded to a multiple of 8 for sublane alignment. ``table[:F, :17]``
+    round-trips geo's used columns; ``table[:F, 17:]`` is att.
+    """
+    num_faces = geo.shape[0]
+    table = jnp.concatenate([geo[:, :GEO_USED], att], axis=1)
+    width = table.shape[1]
+    sentinel = jnp.zeros((1, width), jnp.float32)
+    # Edge c0 values (offsets 4, 7, 10) = -1: nothing is inside.
+    sentinel = sentinel.at[0, 4].set(-1.0).at[0, 7].set(-1.0)
+    sentinel = sentinel.at[0, 10].set(-1.0)
+    sentinel = sentinel.at[0, 16].set(1.0)  # den c0 = 1: finite reciprocal
+    rows_padded = -(-(num_faces + 1) // 8) * 8
+    pad = jnp.broadcast_to(sentinel, (rows_padded - num_faces, width))
+    return jnp.concatenate([table, pad], axis=0)
+
+
 def raster_forward(
-    binned_geo, binned_att, bins, counts, background_chw,
+    table, bins, counts, background_chw,
     *, tile_h: int, tile_w: int, interpret: bool | None = None,
 ):
     """Run the forward kernel over all tiles.
 
     Args:
-        binned_geo: [T, cap, 16] f32 per-tile gathered plane data.
-        binned_att: [T, cap, 3*C] f32.
-        bins: [T, cap] int32 global face ids (F = sentinel for empty slots).
+        table: [Fp, GEO_USED + 3C] f32 packed face table (pack_face_table);
+            stays VMEM-resident across the whole grid.
+        bins: [T, cap] int32 face ids per tile (F = sentinel for empty
+            slots); streamed to SMEM one tile row per grid step.
         counts: [T] int32.
         background_chw: [C, Hp, Wp] f32, already padded to tile multiples.
     Returns:
         pixels [C, Hp, Wp] f32, fid [Hp, Wp] int32, zbuf [Hp, Wp] f32.
     """
     channels, hp, wp = background_chw.shape
-    total, cap, _ = binned_geo.shape
+    total, cap = bins.shape
     tiles_y, tiles_x = hp // tile_h, wp // tile_w
     assert tiles_y * tiles_x == total
+    assert table.shape[1] == GEO_USED + 3 * channels
     if interpret is None:
         interpret = cfg.use_interpret()
 
@@ -114,7 +146,6 @@ def raster_forward(
         tiles_x=tiles_x,
     )
 
-    att_width = binned_att.shape[-1]
     img_map = lambda t: (0, t // tiles_x, t % tiles_x)
     flat_map = lambda t: (t // tiles_x, t % tiles_x)
 
@@ -123,15 +154,10 @@ def raster_forward(
         grid=(total,),
         in_specs=[
             pl.BlockSpec(
-                (1, cap, 1), lambda t, c: (t, 0, 0), memory_space=pltpu.VMEM
+                (1, 1, cap), lambda t, c: (t, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, cap, GEO_WIDTH), lambda t, c: (t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, cap, att_width), lambda t, c: (t, 0, 0),
-                memory_space=pltpu.VMEM,
+                table.shape, lambda t, c: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (channels, tile_h, tile_w),
@@ -164,4 +190,4 @@ def raster_forward(
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         ),
         interpret=interpret,
-    )(counts, bins[..., None], binned_geo, binned_att, background_chw)
+    )(counts, bins[:, None, :], table, background_chw)

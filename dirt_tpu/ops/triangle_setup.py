@@ -51,6 +51,8 @@ GEO_AX, GEO_AY = 0, 1
 GEO_EDGE = 2          # 9 values: (a, b, c0) x 3 edges
 GEO_Z = 11            # 3 values
 GEO_DEN = 14          # 3 values
+GEO_USED = 17         # columns 17:24 are padding; the kernels pack
+                      # attribute planes right after column GEO_USED
 
 
 def screen_from_clip(vertices_clip, height: int, width: int):
