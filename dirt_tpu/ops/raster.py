@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from dirt_tpu import config as cfg
 from dirt_tpu.ops import binning
-from dirt_tpu.ops.raster_bwd import backward_jax
+from dirt_tpu.ops.raster_bwd import backward_scatter
 from dirt_tpu.ops.raster_fwd import pack_face_table, raster_forward
 from dirt_tpu.ops.triangle_setup import (
     face_bboxes,
@@ -75,7 +75,7 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
     fid = fid[:height, :width]
     zbuf = zbuf[:height, :width]
-    return pixels, fid, zbuf, bins.overflow
+    return pixels, fid, zbuf, bins
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -100,15 +100,19 @@ def rasterize_screen(face_verts_screen, face_attrs, background, config):
 
 
 def _fwd(face_verts_screen, face_attrs, background, config):
-    pixels, fid, zbuf, _ = _forward_impl(
+    pixels, fid, zbuf, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )
-    residuals = (face_verts_screen, face_attrs, pixels, fid, zbuf)
+    residuals = (
+        face_verts_screen, face_attrs, pixels, fid, zbuf,
+        bins.bins, bins.counts,
+    )
     return (pixels, fid, zbuf), residuals
 
 
 def _bwd(config, residuals, cotangents):
-    face_verts_screen, face_attrs, pixels, fid, zbuf = residuals
+    (face_verts_screen, face_attrs, pixels, fid, zbuf,
+     bins, counts) = residuals
     grad_pixels = cotangents[0]
 
     def planes(fv, fa):
@@ -116,8 +120,9 @@ def _bwd(config, residuals, cotangents):
         return geo, att
 
     (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
-    d_geo, d_att, d_background = backward_jax(
-        geo, att, fid, zbuf, pixels, grad_pixels
+    d_geo, d_att, d_background = backward_scatter(
+        geo, att, fid, zbuf, pixels, grad_pixels,
+        bins, counts, config.tile_h, config.tile_w,
     )
     d_fv, d_fa = vjp_fn((d_geo, d_att))
     return d_fv, d_fa, d_background
@@ -128,7 +133,7 @@ rasterize_screen.defvjp(_fwd, _bwd)
 
 def check_bin_overflow(face_verts_screen, face_attrs, background, config):
     """Returns the per-tile overflow flags for a given scene (diagnostics)."""
-    _, _, _, overflow = _forward_impl(
+    _, _, _, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )
-    return overflow
+    return bins.overflow

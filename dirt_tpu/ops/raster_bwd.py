@@ -18,11 +18,12 @@ Anchor cotangents: every plane depends on the anchor (ax, ay) only through
 ``d_ay = -sum_p b_p * d_c0_p`` over all planes of the face (edges, z, den,
 attribute numerators). They are derived after the per-face scatter.
 
-This module holds the vectorized pure-JAX implementation, used as the
-engine on CPU and as the scale reference for the Pallas backward kernel.
-Every pair case is oriented so the *own* pixel's face is the front face,
-letting one ``geo[fid]`` gather serve all terms, with a single segment-sum
-scattering per-pixel contributions to faces.
+Performance notes (v5e, 1024^2, 10k tris): per-pixel cotangents are
+accumulated as individual [H, W] columns and stacked once — in-place
+``.at[col].add`` updates on an [H, W, 24] array make XLA materialize the
+full array per update (~12 ms for the 36 boundary-term updates). Interior
+terms use the identity ``num_c = pixels_c / recip`` so no attribute-plane
+gather is needed; only the 17 geometry columns are gathered by face id.
 """
 
 from __future__ import annotations
@@ -54,8 +55,235 @@ def _shift(arr, axis, offset, fill):
     return jnp.where(valid, rolled, fill)
 
 
+def boundary_cases():
+    """The four neighbor-pair orientations of the edge term.
+
+    Each entry is (axis, offset, horizontal, strict): the OWN pixel is kept
+    as the front pixel and ``offset`` points at the back pixel along
+    ``axis``. Tie rule matches the oracle: for a horizontal pair the left
+    pixel is front iff z_left < z_right (so own-front with the back pixel on
+    the left requires z_own <= z_left); likewise vertically with top/down.
+    """
+    return [
+        (1, +1, True, True),    # back = right neighbor: front iff z < z_r
+        (1, -1, True, False),   # back = left:  front iff z <= z_l
+        (0, +1, False, True),   # back = below: front iff z < z_d
+        (0, -1, False, False),  # back = above: front iff z <= z_u
+    ]
+
+
+def pixel_cotangents(g16cf, covered, fid, zbuf, pixels_cf, grad_cf):
+    """Per-pixel cotangent columns w.r.t. the owning face's planes.
+
+    All multi-channel inputs are channels-FIRST: slicing the leading
+    dimension is free, whereas column slices of an [H, W, 24] array are
+    stride-24 lane reads (each a full relayout pass on TPU).
+
+    Args:
+        g16cf: [GEO_WIDTH>=17, H, W] the owning face's geometry row per
+            pixel (any gather/reconstruction; only rows :17 are read).
+        covered: [H, W] bool — pixels that own a face AND are owned by this
+            shard (non-owned halo pixels only supply neighbor-side data).
+        fid: [H, W] int32; zbuf: [H, W] f32.
+        pixels_cf, grad_cf: [C, H, W] forward output / upstream cotangent.
+    Returns:
+        (d_geo_cols, d_att_cols): lists of [H, W] arrays — the per-pixel
+        cotangents for geometry plane columns 0..16 (anchor columns are
+        zeros; they are derived per-face later) and attribute columns
+        0..3C-1.
+    """
+    height, width = fid.shape
+    channels = pixels_cf.shape[0]
+
+    col = jnp.arange(width, dtype=jnp.float32) + 0.5
+    row = jnp.arange(height, dtype=jnp.float32) + 0.5
+    xg = jnp.broadcast_to(col[None, :], (height, width))
+    yg = jnp.broadcast_to(row[:, None], (height, width))
+    dxg = xg - g16cf[GEO_AX]
+    dyg = yg - g16cf[GEO_AY]
+
+    zero = jnp.zeros((height, width), jnp.float32)
+    d_geo = [zero] * GEO_WIDTH
+    d_att = []
+
+    # ---- interior term -------------------------------------------------
+    den = (
+        g16cf[GEO_DEN] * dxg
+        + g16cf[GEO_DEN + 1] * dyg
+        + g16cf[GEO_DEN + 2]
+    )
+    recip = jnp.where(covered, 1.0 / den, 0.0)
+    s_acc = zero
+    for c in range(channels):
+        g_c = grad_cf[c]
+        w_c = jnp.where(covered, g_c * recip, 0.0)
+        d_att += [w_c * dxg, w_c * dyg, w_c]
+        # pixels_c == num_c * recip exactly on covered pixels, so
+        # s_acc = sum_c g_c * num_c = sum_c g_c * pixels_c / recip and
+        # t_den = -recip^2 * s_acc = -recip * sum_c g_c * pixels_c.
+        s_acc = s_acc + g_c * pixels_cf[c]
+    t_den = jnp.where(covered, -recip * s_acc, 0.0)
+    d_geo[GEO_DEN] = t_den * dxg
+    d_geo[GEO_DEN + 1] = t_den * dyg
+    d_geo[GEO_DEN + 2] = t_den
+
+    # ---- boundary term --------------------------------------------------
+    # Per-face edge data at the own pixel.
+    a_e = [g16cf[GEO_EDGE + 3 * j] for j in range(3)]
+    b_e = [g16cf[GEO_EDGE + 3 * j + 1] for j in range(3)]
+    e_own = [
+        a_e[j] * dxg + b_e[j] * dyg + g16cf[GEO_EDGE + 3 * j + 2]
+        for j in range(3)
+    ]
+
+    acc_edge = [[zero, zero, zero] for _ in range(3)]  # [edge][a|b|c0]
+    for axis, offset, horizontal, strict in boundary_cases():
+        # Neighbor maps; -2 marks out-of-image so border pairs are excluded.
+        img_axis = axis + 1  # channels-first shift axis
+        nfid = _shift(fid, axis, offset, -2)
+        nz = _shift(zbuf, axis, offset, BIG_Z)
+        npix = _shift(pixels_cf, img_axis, offset, 0.0)
+        ng = _shift(grad_cf, img_axis, offset, 0.0)
+        pair = (fid != nfid) & (nfid != -2) & covered
+        front = (zbuf < nz) if strict else (zbuf <= nz)
+        active = pair & front
+        s_val = 0.5 * jnp.sum(
+            (grad_cf + ng) * (pixels_cf - npix), axis=0
+        )  # [H, W]
+
+        # Crossing-edge selection on the own (front) face's edges.
+        chosen = jnp.zeros((height, width), jnp.bool_)
+        for j in range(3):
+            a_j, b_j, e_j = a_e[j], b_e[j], e_own[j]
+            # Edge function at the back pixel center (one pixel away).
+            e_back = e_j + offset * (a_j if horizontal else b_j)
+            crossing = (e_j >= 0.0) & (e_back < 0.0) & ~chosen
+            chosen = chosen | crossing
+
+            denom = jnp.abs(a_j) + jnp.abs(b_j)
+            if horizontal:
+                guard = jnp.abs(a_j) >= A_EPS
+                safe = jnp.where(guard, a_j, 1.0)
+                # Crossing x in anchored coordinates: x* - ax = dx - e/a.
+                coord = dxg - e_j / safe
+                lo = jnp.minimum(dxg, dxg + offset)
+                hi = jnp.maximum(dxg, dxg + offset)
+                xs = jnp.clip(coord, lo, hi)
+                vec = (xs, dyg)
+            else:
+                guard = jnp.abs(b_j) >= A_EPS
+                safe = jnp.where(guard, b_j, 1.0)
+                coord = dyg - e_j / safe
+                lo = jnp.minimum(dyg, dyg + offset)
+                hi = jnp.maximum(dyg, dyg + offset)
+                ys = jnp.clip(coord, lo, hi)
+                vec = (dxg, ys)
+
+            scale = jnp.where(
+                active & crossing & guard & (denom >= A_EPS),
+                s_val / jnp.maximum(denom, A_EPS),
+                0.0,
+            )
+            acc_edge[j][0] = acc_edge[j][0] + scale * vec[0]
+            acc_edge[j][1] = acc_edge[j][1] + scale * vec[1]
+            acc_edge[j][2] = acc_edge[j][2] + scale
+
+    for j in range(3):
+        for k in range(3):
+            d_geo[GEO_EDGE + 3 * j + k] = acc_edge[j][k]
+
+    return d_geo, d_att
+
+
+def anchor_cotangents(geo, att, d_geo, d_att):
+    """Fill the (ax, ay) columns of per-face d_geo from the plane slopes.
+
+    Every plane depends on the anchor only through
+    ``c_global = c0 - a*ax - b*ay``, so d_ax = -sum_p a_p * d_c0_p (resp. b
+    for ay) over all planes p of the face.
+    """
+    num_faces = geo.shape[0]
+    channels3 = att.shape[1]
+    plane_a_cols = [GEO_EDGE, GEO_EDGE + 3, GEO_EDGE + 6, GEO_Z, GEO_DEN]
+    d_ax = jnp.zeros((num_faces,), jnp.float32)
+    d_ay = jnp.zeros((num_faces,), jnp.float32)
+    for a_col in plane_a_cols:
+        d_ax = d_ax - geo[:, a_col] * d_geo[:, a_col + 2]
+        d_ay = d_ay - geo[:, a_col + 1] * d_geo[:, a_col + 2]
+    for k in range(0, channels3, 3):
+        d_ax = d_ax - att[:, k] * d_att[:, k + 2]
+        d_ay = d_ay - att[:, k + 1] * d_att[:, k + 2]
+    d_geo = d_geo.at[:, GEO_AX].set(d_ax)
+    d_geo = d_geo.at[:, GEO_AY].set(d_ay)
+    return d_geo
+
+
+def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
+                     bins, counts, tile_h: int, tile_w: int,
+                     own_mask=None):
+    """Gradients w.r.t. plane coefficients via the Pallas face scatter.
+
+    Same semantics as :func:`backward_jax`, but the per-pixel -> per-face
+    reduction runs in ``ops.scatter.scatter_to_faces`` (per-tile MXU one-hot
+    matmuls accumulating into a VMEM-resident face table) instead of a flat
+    H*W-row ``segment_sum``. Needs the forward's binning (``bins [T, cap]``,
+    ``counts [T]``) so tiles only touch their own faces.
+    """
+    from dirt_tpu.ops.scatter import scatter_to_faces
+
+    geo = jnp.asarray(geo, jnp.float32)
+    att = jnp.asarray(att, jnp.float32)
+    num_faces = geo.shape[0]
+    channels = pixels.shape[-1]
+    height, width = fid.shape
+
+    covered = fid >= 0
+    if own_mask is not None:
+        covered = covered & own_mask
+    safe_fid = jnp.where(covered, fid, 0)
+    g16cf = jnp.transpose(geo[safe_fid], (2, 0, 1))   # [24, H, W]
+    pixels_cf = jnp.transpose(pixels, (2, 0, 1))      # [C, H, W]
+    grad_cf = jnp.transpose(grad_pixels, (2, 0, 1))
+
+    d_geo_cols, d_att_cols = pixel_cotangents(
+        g16cf, covered, fid, zbuf, pixels_cf, grad_cf
+    )
+
+    # Scatter only the nonzero columns: 9 edge + 3 denominator + 3C attr.
+    scatter_cols = (
+        [d_geo_cols[GEO_EDGE + k] for k in range(9)]
+        + [d_geo_cols[GEO_DEN + k] for k in range(3)]
+        + d_att_cols
+    )
+    cot = jnp.stack(scatter_cols, axis=0)             # [K, H, W]
+    # Zero non-covered pixels (boundary/interior columns are masked
+    # already, but be safe for halo semantics) and pad to tile multiples.
+    cot = jnp.where(covered[None], cot, 0.0)
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    cot = jnp.pad(cot, ((0, 0), (0, hp - height), (0, wp - width)))
+    fid_p = jnp.pad(
+        jnp.where(covered, fid, -1),
+        ((0, hp - height), (0, wp - width)), constant_values=-1
+    )
+
+    rows = scatter_to_faces(
+        cot, fid_p, bins, counts, num_faces + 1,
+        tile_h=tile_h, tile_w=tile_w,
+    )[:num_faces]                                      # [F, 12 + 3C]
+
+    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
+    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
+    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
+    d_att = rows[:, 12:12 + 3 * channels]
+
+    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    return d_geo, d_att, d_background
+
+
 def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels, own_mask=None):
-    """Gradients w.r.t. plane coefficients.
+    """Gradients w.r.t. plane coefficients (vectorized pure-JAX engine).
 
     Args:
         geo: [F, 24] anchored plane data from ``setup_planes``.
@@ -74,151 +302,36 @@ def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels, own_mask=None):
     geo = jnp.asarray(geo, jnp.float32)
     att = jnp.asarray(att, jnp.float32)
     num_faces = geo.shape[0]
-    height, width = fid.shape
     channels = pixels.shape[-1]
 
     covered = fid >= 0
     if own_mask is not None:
         covered = covered & own_mask
     safe_fid = jnp.maximum(fid, 0)
-    g16 = geo[safe_fid]          # [H, W, 24]
-    a3c = att[safe_fid]          # [H, W, 3C]
+    # Gather rows once, then one transpose to channels-first; per-plane
+    # slices of the [24, H, W] layout are free.
+    g16cf = jnp.transpose(geo[safe_fid], (2, 0, 1))   # [24, H, W]
+    pixels_cf = jnp.transpose(pixels, (2, 0, 1))      # [C, H, W]
+    grad_cf = jnp.transpose(grad_pixels, (2, 0, 1))
 
-    col = jnp.arange(width, dtype=jnp.float32) + 0.5
-    row = jnp.arange(height, dtype=jnp.float32) + 0.5
-    xg = jnp.broadcast_to(col[None, :], (height, width))
-    yg = jnp.broadcast_to(row[:, None], (height, width))
-    dxg = xg - g16[..., GEO_AX]
-    dyg = yg - g16[..., GEO_AY]
-
-    d_geo_pix = jnp.zeros((height, width, GEO_WIDTH), jnp.float32)
-    d_att_pix = jnp.zeros((height, width, 3 * channels), jnp.float32)
-
-    # ---- interior term -------------------------------------------------
-    den = (
-        g16[..., GEO_DEN] * dxg
-        + g16[..., GEO_DEN + 1] * dyg
-        + g16[..., GEO_DEN + 2]
+    d_geo_cols, d_att_cols = pixel_cotangents(
+        g16cf, covered, fid, zbuf, pixels_cf, grad_cf
     )
-    recip = jnp.where(covered, 1.0 / den, 0.0)
-    s_acc = jnp.zeros((height, width), jnp.float32)
-    for c in range(channels):
-        num_c = (
-            a3c[..., 3 * c] * dxg
-            + a3c[..., 3 * c + 1] * dyg
-            + a3c[..., 3 * c + 2]
-        )
-        g_c = grad_pixels[..., c]
-        w_c = jnp.where(covered, g_c * recip, 0.0)
-        d_att_pix = d_att_pix.at[..., 3 * c].set(w_c * dxg)
-        d_att_pix = d_att_pix.at[..., 3 * c + 1].set(w_c * dyg)
-        d_att_pix = d_att_pix.at[..., 3 * c + 2].set(w_c)
-        s_acc = s_acc + g_c * num_c
-    t_den = jnp.where(covered, -recip * recip * s_acc, 0.0)
-    d_geo_pix = d_geo_pix.at[..., GEO_DEN].set(t_den * dxg)
-    d_geo_pix = d_geo_pix.at[..., GEO_DEN + 1].set(t_den * dyg)
-    d_geo_pix = d_geo_pix.at[..., GEO_DEN + 2].set(t_den)
-
-    # ---- boundary term --------------------------------------------------
-    # Neighbor maps; -2 marks out-of-image so border pairs are excluded.
-    def neighbors(axis, offset):
-        nfid = _shift(fid, axis, offset, -2)
-        nz = _shift(zbuf, axis, offset, BIG_Z)
-        npix = _shift(pixels, axis, offset, 0.0)
-        ng = _shift(grad_pixels, axis, offset, 0.0)
-        return nfid, nz, npix, ng
-
-    # Each case keeps the OWN pixel as the front pixel; ``offset`` points at
-    # the back pixel. Tie rule matches the oracle: for a horizontal pair the
-    # left pixel is front iff z_left < z_right (so own-front with back on
-    # the left requires z_own <= z_left); likewise vertically with top/down.
-    cases = [
-        (1, +1, True, True),    # back = right neighbor: front iff z < z_r
-        (1, -1, True, False),   # back = left:  front iff z <= z_l
-        (0, +1, False, True),   # back = below: front iff z < z_d
-        (0, -1, False, False),  # back = above: front iff z <= z_u
-    ]
-
-    for axis, offset, horizontal, strict in cases:
-        nfid, nz, npix, ng = neighbors(axis, offset)
-        pair = (fid != nfid) & (nfid != -2) & covered
-        if strict:
-            front = zbuf < nz
-        else:
-            front = zbuf <= nz
-        active = pair & front
-        s_val = 0.5 * jnp.sum(
-            (grad_pixels + ng) * (pixels - npix), axis=-1
-        )  # [H, W]
-
-        # Crossing-edge selection on the own (front) face's edges.
-        chosen = jnp.zeros((height, width), jnp.bool_)
-        for j in range(3):
-            a_j = g16[..., GEO_EDGE + 3 * j]
-            b_j = g16[..., GEO_EDGE + 3 * j + 1]
-            c_j = g16[..., GEO_EDGE + 3 * j + 2]
-            e_own = a_j * dxg + b_j * dyg + c_j
-            # Edge function at the back pixel center (one pixel away).
-            if horizontal:
-                e_back = e_own + offset * a_j
-            else:
-                e_back = e_own + offset * b_j
-            crossing = (e_own >= 0.0) & (e_back < 0.0) & ~chosen
-            chosen = chosen | crossing
-
-            denom = jnp.abs(a_j) + jnp.abs(b_j)
-            if horizontal:
-                guard = jnp.abs(a_j) >= A_EPS
-                safe_a = jnp.where(guard, a_j, 1.0)
-                # Crossing x in anchored coordinates (x* - ax).
-                coord = -(b_j * dyg + c_j) / safe_a
-                lo = jnp.minimum(dxg, dxg + offset)
-                hi = jnp.maximum(dxg, dxg + offset)
-                xs = jnp.clip(coord, lo, hi)
-                vec = (xs, dyg, jnp.ones_like(xs))
-            else:
-                guard = jnp.abs(b_j) >= A_EPS
-                safe_b = jnp.where(guard, b_j, 1.0)
-                coord = -(a_j * dxg + c_j) / safe_b
-                lo = jnp.minimum(dyg, dyg + offset)
-                hi = jnp.maximum(dyg, dyg + offset)
-                ys = jnp.clip(coord, lo, hi)
-                vec = (dxg, ys, jnp.ones_like(ys))
-
-            scale = jnp.where(
-                active & crossing & guard & (denom >= A_EPS),
-                s_val / jnp.maximum(denom, A_EPS),
-                0.0,
-            )
-            for k in range(3):
-                d_geo_pix = d_geo_pix.at[..., GEO_EDGE + 3 * j + k].add(
-                    scale * vec[k]
-                )
 
     # ---- scatter to faces ------------------------------------------------
     seg = safe_fid.reshape(-1)
     weight = covered.reshape(-1, 1).astype(jnp.float32)
+    # Stack along axis 0 (cheap concat) and transpose once; stacking along
+    # the last axis would interleave-relayout every column.
+    d_geo_pix = jnp.stack(d_geo_cols, axis=0).reshape(GEO_WIDTH, -1).T
+    d_att_pix = jnp.stack(d_att_cols, axis=0).reshape(3 * channels, -1).T
     d_geo = jax.ops.segment_sum(
-        d_geo_pix.reshape(-1, GEO_WIDTH) * weight, seg, num_segments=num_faces
+        d_geo_pix * weight, seg, num_segments=num_faces
     )
     d_att = jax.ops.segment_sum(
-        d_att_pix.reshape(-1, 3 * channels) * weight, seg,
-        num_segments=num_faces,
+        d_att_pix * weight, seg, num_segments=num_faces
     )
 
-    # ---- anchor cotangents -----------------------------------------------
-    # d_ax = -sum over all planes of (a_p * d_c0_p); likewise for ay with b.
-    plane_a_cols = [GEO_EDGE, GEO_EDGE + 3, GEO_EDGE + 6, GEO_Z, GEO_DEN]
-    d_ax = jnp.zeros((num_faces,), jnp.float32)
-    d_ay = jnp.zeros((num_faces,), jnp.float32)
-    for a_col in plane_a_cols:
-        d_ax = d_ax - geo[:, a_col] * d_geo[:, a_col + 2]
-        d_ay = d_ay - geo[:, a_col + 1] * d_geo[:, a_col + 2]
-    for c in range(channels):
-        d_ax = d_ax - att[:, 3 * c] * d_att[:, 3 * c + 2]
-        d_ay = d_ay - att[:, 3 * c + 1] * d_att[:, 3 * c + 2]
-    d_geo = d_geo.at[:, GEO_AX].set(d_ax)
-    d_geo = d_geo.at[:, GEO_AY].set(d_ay)
-
+    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
     d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
     return d_geo, d_att, d_background
