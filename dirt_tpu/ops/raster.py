@@ -33,7 +33,11 @@ import jax.numpy as jnp
 from dirt_tpu import config as cfg
 from dirt_tpu.ops import binning
 from dirt_tpu.ops.raster_bwd import backward_scatter
-from dirt_tpu.ops.raster_fwd import pack_face_table, raster_forward
+from dirt_tpu.ops.raster_fwd import (
+    pack_face_table,
+    raster_forward,
+    raster_forward_csr,
+)
 from dirt_tpu.ops.triangle_setup import (
     face_bboxes,
     setup_planes,
@@ -41,11 +45,32 @@ from dirt_tpu.ops.triangle_setup import (
 
 
 class RasterConfig(NamedTuple):
-    """Static kernel configuration (hashable; a custom_vjp nondiff arg)."""
+    """Static kernel configuration (hashable; a custom_vjp nondiff arg).
+
+    ``streaming`` selects the scalable CSR path (pair-expansion binning +
+    chunk-streamed kernels; face count bounded by HBM, not VMEM). ``None``
+    auto-selects it above ``STREAMING_FACES`` faces — below that the dense
+    path (VMEM-resident face table, [T, F] overlap binning) is faster.
+    ``expand_cap`` caps how many tiles a single face may overlap on the
+    streaming path (None = auto from face/tile counts; overflow-flagged).
+    """
 
     tile_h: int = cfg.TILE_H
     tile_w: int = cfg.TILE_W
     bin_cap: int = cfg.DEFAULT_BIN_CAP
+    streaming: bool | None = None
+    expand_cap: int | None = None
+
+
+# Above this face count the dense path's VMEM face table (~512 B/face once
+# lane-padded) stops fitting comfortably next to the image blocks.
+STREAMING_FACES = 16384
+
+
+def use_streaming(config: RasterConfig, num_faces: int) -> bool:
+    if config.streaming is not None:
+        return config.streaming
+    return num_faces > STREAMING_FACES
 
 
 def _pad_to(value: int, multiple: int) -> int:
@@ -56,21 +81,39 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     height, width, channels = background.shape
     tile_h, tile_w, cap = config.tile_h, config.tile_w, config.bin_cap
     num_faces = face_verts_screen.shape[0]
-    cap = min(cap, max(num_faces, 1))
+    streaming = use_streaming(config, num_faces)
+    if not streaming:
+        cap = min(cap, max(num_faces, 1))
 
     geo, att, valid = setup_planes(face_verts_screen, face_attrs)
     bbox = face_bboxes(face_verts_screen, valid, height, width)
-    bins = binning.bin_faces(bbox, height, width, tile_h, tile_w, cap)
     table = pack_face_table(geo, att)
 
     hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
     bg_chw = jnp.transpose(background, (2, 0, 1))
     bg_chw = jnp.pad(bg_chw, ((0, 0), (0, hp - height), (0, wp - width)))
 
-    pixels_chw, fid, zbuf = raster_forward(
-        table, bins.bins, bins.counts, bg_chw,
-        tile_h=tile_h, tile_w=tile_w,
-    )
+    if streaming:
+        tiles_total = (hp // tile_h) * (wp // tile_w)
+        expand = config.expand_cap or binning.auto_expand_cap(
+            num_faces, tiles_total
+        )
+        cap = _pad_to(cap, binning.CHUNK)
+        bins = binning.bin_faces_csr(
+            bbox, height, width, tile_h, tile_w, cap, expand
+        )
+        binned_table = table[bins.entry_face]
+        pixels_chw, fid, zbuf = raster_forward_csr(
+            binned_table, bins.entry_face, bins.start_block, bins.counts,
+            bg_chw, tile_h=tile_h, tile_w=tile_w,
+            max_chunks=cap // binning.CHUNK,
+        )
+    else:
+        bins = binning.bin_faces(bbox, height, width, tile_h, tile_w, cap)
+        pixels_chw, fid, zbuf = raster_forward(
+            table, bins.bins, bins.counts, bg_chw,
+            tile_h=tile_h, tile_w=tile_w,
+        )
 
     pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
     fid = fid[:height, :width]
@@ -103,26 +146,52 @@ def _fwd(face_verts_screen, face_attrs, background, config):
     pixels, fid, zbuf, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )
+    if use_streaming(config, face_verts_screen.shape[0]):
+        bin_res = (bins.entry_face, bins.start_block, bins.counts)
+    else:
+        bin_res = (bins.bins, bins.counts)
     residuals = (
-        face_verts_screen, face_attrs, pixels, fid, zbuf,
-        bins.bins, bins.counts,
+        face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res,
     )
     return (pixels, fid, zbuf), residuals
 
 
 def _bwd(config, residuals, cotangents):
-    (face_verts_screen, face_attrs, pixels, fid, zbuf,
-     bins, counts) = residuals
+    (face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res) = residuals
     grad_pixels = cotangents[0]
+    num_faces = face_verts_screen.shape[0]
 
     def planes(fv, fa):
         geo, att, _ = setup_planes(fv, fa)
         return geo, att
 
+    if use_streaming(config, num_faces):
+        from dirt_tpu.ops.scatter import scatter_to_faces_csr
+
+        entry_face, start_block, counts = bin_res
+        cap = _pad_to(config.bin_cap, binning.CHUNK)
+
+        def scatter_fn(cot_p, fid_p):
+            return scatter_to_faces_csr(
+                cot_p, fid_p, entry_face, start_block, counts, num_faces,
+                tile_h=config.tile_h, tile_w=config.tile_w,
+                max_chunks=cap // binning.CHUNK,
+            )
+    else:
+        from dirt_tpu.ops.scatter import scatter_to_faces
+
+        bins, counts = bin_res
+
+        def scatter_fn(cot_p, fid_p):
+            return scatter_to_faces(
+                cot_p, fid_p, bins, counts, num_faces + 1,
+                tile_h=config.tile_h, tile_w=config.tile_w,
+            )[:num_faces]
+
     (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
     d_geo, d_att, d_background = backward_scatter(
-        geo, att, fid, zbuf, pixels, grad_pixels,
-        bins, counts, config.tile_h, config.tile_w,
+        geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
+        config.tile_h, config.tile_w,
     )
     d_fv, d_fa = vjp_fn((d_geo, d_att))
     return d_fv, d_fa, d_background

@@ -219,18 +219,20 @@ def anchor_cotangents(geo, att, d_geo, d_att):
 
 
 def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
-                     bins, counts, tile_h: int, tile_w: int,
+                     scatter_fn, tile_h: int, tile_w: int,
                      own_mask=None):
-    """Gradients w.r.t. plane coefficients via the Pallas face scatter.
+    """Gradients w.r.t. plane coefficients via a Pallas face scatter.
 
     Same semantics as :func:`backward_jax`, but the per-pixel -> per-face
-    reduction runs in ``ops.scatter.scatter_to_faces`` (per-tile MXU one-hot
-    matmuls accumulating into a VMEM-resident face table) instead of a flat
-    H*W-row ``segment_sum``. Needs the forward's binning (``bins [T, cap]``,
-    ``counts [T]``) so tiles only touch their own faces.
-    """
-    from dirt_tpu.ops.scatter import scatter_to_faces
+    reduction runs in a Pallas kernel (per-tile MXU one-hot matmuls; see
+    ``ops.scatter``) instead of a flat H*W-row ``segment_sum``.
 
+    Args:
+        scatter_fn: callable (cot [K, Hp, Wp], fid [Hp, Wp]) -> [F, K]
+            summing each pixel's cotangent row onto its owning face
+            (``ops.scatter.scatter_to_faces`` with the forward's dense bins,
+            or ``scatter_to_faces_csr`` with its CSR bins).
+    """
     geo = jnp.asarray(geo, jnp.float32)
     att = jnp.asarray(att, jnp.float32)
     num_faces = geo.shape[0]
@@ -267,10 +269,7 @@ def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
         ((0, hp - height), (0, wp - width)), constant_values=-1
     )
 
-    rows = scatter_to_faces(
-        cot, fid_p, bins, counts, num_faces + 1,
-        tile_h=tile_h, tile_w=tile_w,
-    )[:num_faces]                                      # [F, 12 + 3C]
+    rows = scatter_fn(cot, fid_p)                      # [F, 12 + 3C]
 
     d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
     d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])

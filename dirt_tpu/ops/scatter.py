@@ -145,3 +145,101 @@ def scatter_to_faces(
         out_shape=jax.ShapeDtypeStruct((rows_padded, k_cols), jnp.float32),
         interpret=interpret,
     )(counts, bins3, bins_chunked, fid, cot_cf)
+
+
+def _scatter_csr_kernel(
+    meta_ref, ids_smem_ref, ids_vmem_ref, fid_ref, cot_ref,
+    rows_ref,
+    *, k_cols: int, tile_h: int, tile_w: int, total: int,
+):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    count = meta_ref[total + t]
+    base = j * CHUNK
+
+    @pl.when(base >= count)
+    def _():
+        # Inactive steps still own an (aliased, clamped) output block:
+        # zero it so no garbage reaches the segment reduce.
+        rows_ref[:] = jnp.zeros_like(rows_ref)
+
+    @pl.when(base < count)
+    def _():
+        px = tile_h * tile_w
+        fid_flat = fid_ref[:].reshape(1, px)
+        ids = ids_vmem_ref[0, 0, :].reshape(CHUNK, 1)
+        onehot = (ids == fid_flat).astype(jnp.float32)      # [CHUNK, px]
+        cot = cot_ref[:].reshape(k_cols, px)
+        rows_ref[:] = jax.lax.dot_general(
+            onehot, cot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def scatter_to_faces_csr(
+    cot_cf, fid, entry_face, start_block, counts, num_faces: int,
+    *, tile_h: int, tile_w: int, max_chunks: int,
+    interpret: bool | None = None,
+):
+    """CSR-streaming variant of :func:`scatter_to_faces`.
+
+    Emits compact per-bin-entry rows in the CSR layout (the same chunk
+    blocks the streaming forward reads), then segment-sums them by entry
+    face id — cost scales with actual bin occupancy, and no face-table
+    VMEM residency is needed (scales to HBM-sized meshes).
+
+    Returns [num_faces, K] f32.
+    """
+    k_cols, hp, wp = cot_cf.shape
+    total = start_block.shape[0]
+    n_pad = entry_face.shape[0]
+    n_blocks = n_pad // CHUNK
+    tiles_x = wp // tile_w
+    assert (hp // tile_h) * tiles_x == total
+    if interpret is None:
+        interpret = cfg.use_interpret()
+
+    kernel = functools.partial(
+        _scatter_csr_kernel,
+        k_cols=k_cols, tile_h=tile_h, tile_w=tile_w, total=total,
+    )
+    meta = jnp.concatenate([start_block, counts]).astype(jnp.int32)
+    ids3 = entry_face.reshape(n_blocks, 1, CHUNK)
+
+    def row_map3(t, j, m):
+        return (jnp.minimum(m[t] + j, n_blocks - 1), 0, 0)
+
+    def out_map(t, j, m):
+        return (jnp.minimum(m[t] + j, n_blocks - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total, max_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, CHUNK), row_map3, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, CHUNK), row_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_h, tile_w),
+                lambda t, j, m: (t // tiles_x, t % tiles_x),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k_cols, tile_h, tile_w),
+                lambda t, j, m: (0, t // tiles_x, t % tiles_x),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (CHUNK, k_cols), out_map, memory_space=pltpu.VMEM
+        ),
+    )
+    rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_cols), jnp.float32),
+        interpret=interpret,
+    )(meta, ids3, ids3, fid, cot_cf)
+    return jax.ops.segment_sum(
+        rows, entry_face, num_segments=num_faces + 1
+    )[:num_faces]
