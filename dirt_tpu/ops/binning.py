@@ -111,11 +111,15 @@ def csr_pad_bound(num_faces: int, expand_cap: int, num_tiles: int) -> int:
 def auto_expand_cap(num_faces: int, num_tiles: int) -> int:
     """Default per-face tile-overlap cap.
 
-    Covers meshes whose triangles are small relative to the tile grid
-    (the normal large-scene regime) with 4x headroom; low-poly scenes get
-    a cap that lets a single face span the whole grid. Faces spanning more
-    tiles than the cap are truncated and flagged via ``overflow``.
+    Expansion work is O(F * E), so large meshes (whose triangles are
+    necessarily small relative to the tile grid) get a tight cap; low-poly
+    scenes get one that lets a single face span the whole grid. Faces
+    spanning more tiles than the cap are truncated and flagged via
+    ``overflow`` — raise ``RasterConfig.expand_cap`` for scenes mixing
+    huge triangle counts with individually huge triangles.
     """
+    if num_faces > 65536:
+        return 8
     target = max(16, (16 * num_tiles) // max(num_faces, 1))
     cap = 16
     while cap < target and cap < num_tiles:

@@ -57,7 +57,7 @@ class RasterConfig(NamedTuple):
 
     tile_h: int = cfg.TILE_H
     tile_w: int = cfg.TILE_W
-    bin_cap: int = cfg.DEFAULT_BIN_CAP
+    bin_cap: int | None = None
     streaming: bool | None = None
     expand_cap: int | None = None
 
@@ -77,13 +77,33 @@ def _pad_to(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
+def resolve_bin_cap(
+    config: RasterConfig, num_faces: int, num_tiles: int
+) -> int:
+    """Per-tile face cap: explicit, or 8x the mean density (>= 1024).
+
+    Mean binned faces per tile is about F * overlap / T; hot tiles (mesh
+    silhouettes, dense regions) run several times the mean, so an 8x
+    margin keeps the ``overflow`` flag quiet on typical scenes while the
+    static bins stay small. Overflow is still *reported*, never silent.
+    """
+    if config.bin_cap is not None:
+        cap = config.bin_cap
+    else:
+        mean = -(-2 * num_faces // max(num_tiles, 1))
+        cap = max(cfg.DEFAULT_BIN_CAP, 8 * mean)
+    return max(min(cap, max(num_faces, 1)), 1)
+
+
 def _forward_impl(face_verts_screen, face_attrs, background, config):
     height, width, channels = background.shape
-    tile_h, tile_w, cap = config.tile_h, config.tile_w, config.bin_cap
+    tile_h, tile_w = config.tile_h, config.tile_w
     num_faces = face_verts_screen.shape[0]
     streaming = use_streaming(config, num_faces)
-    if not streaming:
-        cap = min(cap, max(num_faces, 1))
+    n_tiles = (_pad_to(height, tile_h) // tile_h) * (
+        _pad_to(width, tile_w) // tile_w
+    )
+    cap = resolve_bin_cap(config, num_faces, n_tiles)
 
     geo, att, valid = setup_planes(face_verts_screen, face_attrs)
     bbox = face_bboxes(face_verts_screen, valid, height, width)
@@ -169,7 +189,13 @@ def _bwd(config, residuals, cotangents):
         from dirt_tpu.ops.scatter import scatter_to_faces_csr
 
         entry_face, start_block, counts = bin_res
-        cap = _pad_to(config.bin_cap, binning.CHUNK)
+        height, width = fid.shape
+        n_tiles = (_pad_to(height, config.tile_h) // config.tile_h) * (
+            _pad_to(width, config.tile_w) // config.tile_w
+        )
+        cap = _pad_to(
+            resolve_bin_cap(config, num_faces, n_tiles), binning.CHUNK
+        )
 
         def scatter_fn(cot_p, fid_p):
             return scatter_to_faces_csr(
