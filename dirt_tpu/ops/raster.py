@@ -176,20 +176,16 @@ def _fwd(face_verts_screen, face_attrs, background, config):
     return (pixels, fid, zbuf), residuals
 
 
-def _bwd(config, residuals, cotangents):
-    (face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res) = residuals
-    grad_pixels = cotangents[0]
-    num_faces = face_verts_screen.shape[0]
+def make_scatter_fn(config, bin_res, num_faces, height, width):
+    """Bind the forward's bins to the matching Pallas scatter engine.
 
-    def planes(fv, fa):
-        geo, att, _ = setup_planes(fv, fa)
-        return geo, att
-
+    Returns a callable (cot [K, Hp, Wp], fid [Hp, Wp]) -> [F, K] for
+    ``backward_scatter`` / ``backward_scatter_halo``.
+    """
     if use_streaming(config, num_faces):
         from dirt_tpu.ops.scatter import scatter_to_faces_csr
 
         entry_face, start_block, counts = bin_res
-        height, width = fid.shape
         n_tiles = (_pad_to(height, config.tile_h) // config.tile_h) * (
             _pad_to(width, config.tile_w) // config.tile_w
         )
@@ -213,6 +209,21 @@ def _bwd(config, residuals, cotangents):
                 cot_p, fid_p, bins, counts, num_faces + 1,
                 tile_h=config.tile_h, tile_w=config.tile_w,
             )[:num_faces]
+
+    return scatter_fn
+
+
+def _bwd(config, residuals, cotangents):
+    (face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res) = residuals
+    grad_pixels = cotangents[0]
+    num_faces = face_verts_screen.shape[0]
+    height, width = fid.shape
+
+    def planes(fv, fa):
+        geo, att, _ = setup_planes(fv, fa)
+        return geo, att
+
+    scatter_fn = make_scatter_fn(config, bin_res, num_faces, height, width)
 
     (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
     d_geo, d_att, d_background = backward_scatter(

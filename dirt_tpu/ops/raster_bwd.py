@@ -281,6 +281,63 @@ def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
     return d_geo, d_att, d_background
 
 
+def backward_scatter_halo(geo, att, fid_e, zbuf_e, pixels_e, grad_e,
+                          own_mask, scatter_fn, tile_h: int, tile_w: int):
+    """Scatter-engine backward over row-halo-extended slab arrays.
+
+    For the sharded slab path (``parallel.sharding``): inputs carry one
+    halo row on each side ([H+2, W, ...]); per-pixel cotangents are
+    computed on the extended arrays (so cross-slab boundary pairs see the
+    neighbor row), then sliced back to the slab's own rows before the
+    per-face scatter — own_mask guarantees halo rows contribute nothing.
+    ``geo``/``att`` must be expressed in the extended (y+1) coordinates.
+    """
+    geo = jnp.asarray(geo, jnp.float32)
+    att = jnp.asarray(att, jnp.float32)
+    num_faces = geo.shape[0]
+    channels = pixels_e.shape[-1]
+
+    covered_e = (fid_e >= 0) & own_mask
+    safe_fid = jnp.where(covered_e, fid_e, 0)
+    g16cf = jnp.transpose(geo[safe_fid], (2, 0, 1))
+    pixels_cf = jnp.transpose(pixels_e, (2, 0, 1))
+    grad_cf = jnp.transpose(grad_e, (2, 0, 1))
+
+    d_geo_cols, d_att_cols = pixel_cotangents(
+        g16cf, covered_e, fid_e, zbuf_e, pixels_cf, grad_cf
+    )
+
+    # Slice back to the slab's own rows (halo rows are non-owned: zero).
+    covered = covered_e[1:-1]
+    fid = fid_e[1:-1]
+    height, width = fid.shape
+    scatter_cols = (
+        [d_geo_cols[GEO_EDGE + k][1:-1] for k in range(9)]
+        + [d_geo_cols[GEO_DEN + k][1:-1] for k in range(3)]
+        + [c[1:-1] for c in d_att_cols]
+    )
+    cot = jnp.stack(scatter_cols, axis=0)
+    cot = jnp.where(covered[None], cot, 0.0)
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    cot = jnp.pad(cot, ((0, 0), (0, hp - height), (0, wp - width)))
+    fid_p = jnp.pad(
+        jnp.where(covered, fid, -1),
+        ((0, hp - height), (0, wp - width)), constant_values=-1
+    )
+
+    rows = scatter_fn(cot, fid_p)
+
+    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
+    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
+    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
+    d_att = rows[:, 12:12 + 3 * channels]
+
+    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_background_e = jnp.where(covered_e[..., None], 0.0, grad_e)
+    return d_geo, d_att, d_background_e
+
+
 def backward_jax(geo, att, fid, zbuf, pixels, grad_pixels, own_mask=None):
     """Gradients w.r.t. plane coefficients (vectorized pure-JAX engine).
 

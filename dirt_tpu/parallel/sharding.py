@@ -30,8 +30,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from dirt_tpu.ops.raster import RasterConfig, _forward_impl
-from dirt_tpu.ops.raster_bwd import backward_jax
+from dirt_tpu.ops.raster import (
+    RasterConfig,
+    _forward_impl,
+    make_scatter_fn,
+    use_streaming,
+)
+from dirt_tpu.ops.raster_bwd import backward_scatter_halo
 from dirt_tpu.ops.raster_fwd import BIG_Z
 from dirt_tpu.ops.triangle_setup import screen_from_clip, setup_planes
 
@@ -93,11 +98,19 @@ def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
         return pixels, fid, zbuf
 
     def fwd(face_verts_local, face_attrs, bg_slab, row0):
-        out = slab_op(face_verts_local, face_attrs, bg_slab, row0)
-        return out, (face_verts_local, face_attrs, *out, row0)
+        pixels, fid, zbuf, bins = _forward_impl(
+            face_verts_local, face_attrs, bg_slab, config
+        )
+        if use_streaming(config, face_verts_local.shape[0]):
+            bin_res = (bins.entry_face, bins.start_block, bins.counts)
+        else:
+            bin_res = (bins.bins, bins.counts)
+        out = (pixels, fid, zbuf)
+        return out, (face_verts_local, face_attrs, *out, bin_res, row0)
 
     def bwd(residuals, cotangents):
-        face_verts_local, face_attrs, pixels, fid, zbuf, row0 = residuals
+        (face_verts_local, face_attrs, pixels, fid, zbuf, bin_res,
+         row0) = residuals
         grad_pixels = cotangents[0]
         slab_h = fid.shape[0]
 
@@ -127,9 +140,13 @@ def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
         (geo_shift, att_shift), vjp_shift = jax.vjp(
             planes_shifted, face_verts_local, face_attrs
         )
-        d_geo, d_att, d_bg_e = backward_jax(
+        scatter_fn = make_scatter_fn(
+            config, bin_res, face_verts_local.shape[0],
+            slab_h, fid.shape[1],
+        )
+        d_geo, d_att, d_bg_e = backward_scatter_halo(
             geo_shift, att_shift, fid_e, zbuf_e, pixels_e, grad_e,
-            own_mask=own_mask,
+            own_mask, scatter_fn, config.tile_h, config.tile_w,
         )
         d_fv, d_fa = vjp_shift((d_geo, d_att))
         d_bg = d_bg_e[1:-1]
