@@ -55,11 +55,23 @@ class RasterConfig(NamedTuple):
     streaming path (None = auto from face/tile counts; overflow-flagged).
     """
 
-    tile_h: int = cfg.TILE_H
+    tile_h: int | None = None
     tile_w: int = cfg.TILE_W
     bin_cap: int | None = None
     streaming: bool | None = None
     expand_cap: int | None = None
+
+    def concrete(self, height: int) -> "RasterConfig":
+        """Resolve auto fields for a given image height.
+
+        The per-face loop iteration carries a large fixed cost (scalar row
+        load + ~26 lane broadcasts), so tall tiles win at high resolution
+        (64x128 measured fastest at 1024^2 on v5e) while small images
+        want more, smaller tiles for grid parallelism/occupancy balance.
+        """
+        if self.tile_h is not None:
+            return self
+        return self._replace(tile_h=64 if height >= 512 else cfg.TILE_H)
 
 
 # Above this face count the dense path's VMEM face table (~512 B/face once
@@ -97,6 +109,7 @@ def resolve_bin_cap(
 
 def _forward_impl(face_verts_screen, face_attrs, background, config):
     height, width, channels = background.shape
+    config = config.concrete(height)
     tile_h, tile_w = config.tile_h, config.tile_w
     num_faces = face_verts_screen.shape[0]
     streaming = use_streaming(config, num_faces)
@@ -218,6 +231,7 @@ def _bwd(config, residuals, cotangents):
     grad_pixels = cotangents[0]
     num_faces = face_verts_screen.shape[0]
     height, width = fid.shape
+    config = config.concrete(height)
 
     def planes(fv, fa):
         geo, att, _ = setup_planes(fv, fa)

@@ -173,7 +173,7 @@ def slab_render(
         [H / n_axis, W, C] this device's rendered rows (differentiable;
         boundary gradients are halo-exchanged over ``axis``).
     """
-    config = config or RasterConfig()
+    config = (config or RasterConfig()).concrete(bg_slab.shape[0])
     faces = jnp.asarray(faces, jnp.int32)
     slab_h = bg_slab.shape[0]
     slab_op = _make_slab_op(config, axis, height)
@@ -204,9 +204,9 @@ def rasterise_sharded(
         [H, W, C] rendered image, sharded along rows; differentiable w.r.t.
         background, vertices, vertex_colors (parameter grads all-reduced).
     """
-    config = config or RasterConfig()
     height, width, _ = background.shape
     n = mesh.shape[axis]
+    config = (config or RasterConfig()).concrete(height // n)
     if height % (n * config.tile_h) != 0:
         raise ValueError(
             f"height {height} must be divisible by devices*tile_h "
