@@ -107,8 +107,9 @@ def main():
     v = jax.tree.map(jnp.zeros_like, params)
     b1, b2, eps = 0.9, 0.999, 1e-8
 
-    @jax.jit
-    def step(params, m, v, t, lrs):
+    def step(carry, inputs):
+        params, m, v = carry
+        t, lrs = inputs
         g = grad_fn(params)
         m = jax.tree.map(lambda a, b: b1 * a + (1 - b1) * b, m, g)
         v = jax.tree.map(lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
@@ -118,14 +119,20 @@ def main():
             lambda p, lr, a, b: p - lr * a / (jnp.sqrt(b) + eps),
             params, lrs, mh, vh,
         )
-        return new, m, v
+        return (new, m, v), ()
 
-    t0 = time.time()
+    # All steps run device-side in one lax.scan: a host-driven loop pays
+    # ~100+ ms dispatch latency per dependent step on the tunneled chip.
     pose_only = STEPS // 2
-    for t in range(1, STEPS + 1):
-        bump_lr = 0.0 if t <= pose_only else 2e-4
-        lrs = {"pose": jnp.float32(5e-3), "bump": jnp.float32(bump_lr)}
-        params, m, v = step(params, m, v, jnp.float32(t), lrs)
+    ts = jnp.arange(1, STEPS + 1, dtype=jnp.float32)
+    lrs_seq = {
+        "pose": jnp.full((STEPS,), 5e-3, jnp.float32),
+        "bump": jnp.where(ts <= pose_only, 0.0, 2e-4).astype(jnp.float32),
+    }
+    run = jax.jit(lambda carry: jax.lax.scan(step, carry, (ts, lrs_seq))[0])
+    run((params, m, v))  # compile
+    t0 = time.time()
+    params, m, v = run((params, m, v))
     jax.block_until_ready(params["pose"])
     l1 = float(loss_fn(params))
     print(f"inverse rendering: loss {l0:.6f} -> {l1:.6f} "
