@@ -59,8 +59,11 @@ def main():
     tex = jnp.full_like(texture, 0.5)
     l0 = float(loss_fn(tex))
     lr = 300.0
-    for _ in range(STEPS):
-        tex = tex - lr * grad_fn(tex)
+    # One device-side lax.scan: host-driven dependent loops pay ~100 ms
+    # dispatch latency per step on the tunneled chip.
+    tex = jax.jit(lambda t0: jax.lax.scan(
+        lambda t, _: (t - lr * grad_fn(t), ()), t0, None, length=STEPS
+    )[0])(tex)
     l1 = float(loss_fn(tex))
     print(f"texture recovery: loss {l0:.5f} -> {l1:.5f}")
     save_ppm(os.path.join(OUT, "demo3_recovered_texture.ppm"), np.asarray(tex))

@@ -73,9 +73,14 @@ def main():
     }
     l0 = float(loss_fn(params))
     lr = {"light": 3.0, "pose": 0.5}
-    for _ in range(STEPS):
-        g = grad_fn(params)
-        params = {k: params[k] - lr[k] * g[k] for k in params}
+
+    def step(p, _):
+        g = grad_fn(p)
+        return {k: p[k] - lr[k] * g[k] for k in p}, ()
+
+    # One device-side lax.scan (host loops pay ~100 ms dispatch per step).
+    params = jax.jit(lambda p: jax.lax.scan(
+        step, p, None, length=STEPS)[0])(params)
     l1 = float(loss_fn(params))
     rec_light = params["light"] / jnp.linalg.norm(params["light"])
     print(f"light/pose recovery: loss {l0:.6f} -> {l1:.6f}")

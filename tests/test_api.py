@@ -1,0 +1,98 @@
+"""Public API surface: batch rendering, shape inference, aux outputs.
+
+Mirrors the reference's wrapper behaviors (``dirt/rasterise_ops.py``,
+reconstructed — SURVEY.md section 2.2): ``rasterise`` with an explicit
+background or with (height, width, channels), ``rasterise_batch`` mapping
+over a leading batch dim with shared faces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dirt_tpu
+
+
+def _tri(shift_x=0.0):
+    verts = jnp.array(
+        [[-0.5 + shift_x, -0.5, 0.0, 1.0],
+         [0.5 + shift_x, -0.5, 0.0, 1.0],
+         [shift_x, 0.6, 0.0, 1.0]], jnp.float32)
+    colors = jnp.ones((3, 2), jnp.float32)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    return verts, colors, faces
+
+
+def test_rasterise_none_background_requires_shape():
+    verts, colors, faces = _tri()
+    with pytest.raises(ValueError):
+        dirt_tpu.rasterise(None, verts, colors, faces)
+
+
+def test_rasterise_none_background_renders():
+    verts, colors, faces = _tri()
+    img = dirt_tpu.rasterise(
+        None, verts, colors, faces, height=32, width=128, channels=2)
+    assert img.shape == (32, 128, 2)
+    assert float(jnp.max(img)) == 1.0
+    assert float(jnp.min(img)) == 0.0
+
+
+def test_rasterise_shape_inferred_from_background():
+    verts, colors, faces = _tri()
+    bg = jnp.full((32, 128, 2), 0.25, jnp.float32)
+    img = dirt_tpu.rasterise(bg, verts, colors, faces)
+    assert img.shape == bg.shape
+    covered = np.asarray(img[..., 0]) == 1.0
+    uncovered = np.asarray(img[..., 0]) == 0.25
+    assert covered.sum() > 0 and (covered | uncovered).all()
+
+
+def test_rasterise_batch_matches_individual():
+    v0, colors, faces = _tri(0.0)
+    v1, _, _ = _tri(0.3)
+    verts = jnp.stack([v0, v1])
+    cols = jnp.stack([colors, colors * 0.5])
+    bg = jnp.zeros((2, 32, 128, 2), jnp.float32)
+    batch = dirt_tpu.rasterise_batch(bg, verts, cols, faces)
+    for i in range(2):
+        single = dirt_tpu.rasterise(bg[i], verts[i], cols[i], faces)
+        np.testing.assert_allclose(
+            np.asarray(batch[i]), np.asarray(single), atol=1e-6)
+
+
+def test_rasterise_batch_none_background():
+    v0, colors, faces = _tri()
+    verts = jnp.stack([v0, v0])
+    cols = jnp.stack([colors, colors])
+    batch = dirt_tpu.rasterise_batch(
+        None, verts, cols, faces, height=32, width=128, channels=2)
+    assert batch.shape == (2, 32, 128, 2)
+    np.testing.assert_allclose(
+        np.asarray(batch[0]), np.asarray(batch[1]), atol=0)
+
+
+def test_rasterise_batch_gradients():
+    v0, colors, faces = _tri()
+    verts = jnp.stack([v0, v0 * 1.05])
+    cols = jnp.stack([colors, colors])
+    bg = jnp.zeros((2, 32, 128, 2), jnp.float32)
+
+    def loss(v):
+        return jnp.sum(dirt_tpu.rasterise_batch(bg, v, cols, faces) ** 2)
+
+    g = jax.grad(loss)(verts)
+    assert g.shape == verts.shape
+    assert bool(jnp.any(g != 0.0))
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_rasterise_with_aux_maps():
+    verts, colors, faces = _tri()
+    bg = jnp.zeros((32, 128, 2), jnp.float32)
+    img, fid, zbuf = dirt_tpu.rasterise_with_aux(bg, verts, colors, faces)
+    covered = np.asarray(fid) == 0
+    assert covered.sum() > 0
+    assert (np.asarray(fid)[~covered] == -1).all()
+    assert np.isfinite(np.asarray(zbuf)[covered]).all()
