@@ -22,7 +22,9 @@ from dirt_tpu.core import lighting, matrices, mesh
 from dirt_tpu.render.deferred import shade_deferred
 from dirt_tpu.render.gbuffer import render_gbuffer
 from dirt_tpu.ops.raster import RasterConfig
+from dirt_tpu.utils.checkpoint import load_pytree, save_pytree
 from dirt_tpu.utils.image import save_ppm
+from dirt_tpu.utils.metrics import MetricsLogger
 
 OUT = os.path.join(os.path.dirname(__file__), "out")
 SIZE = int(os.environ.get("DIRT_DEMO_SIZE", "1024"))
@@ -110,7 +112,7 @@ def main():
     def step(carry, inputs):
         params, m, v = carry
         t, lrs = inputs
-        g = grad_fn(params)
+        loss, g = jax.value_and_grad(loss_fn)(params)
         m = jax.tree.map(lambda a, b: b1 * a + (1 - b1) * b, m, g)
         v = jax.tree.map(lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
         mh = jax.tree.map(lambda a: a / (1 - b1 ** t), m)
@@ -119,7 +121,7 @@ def main():
             lambda p, lr, a, b: p - lr * a / (jnp.sqrt(b) + eps),
             params, lrs, mh, vh,
         )
-        return (new, m, v), ()
+        return (new, m, v), loss
 
     # All steps run device-side in one lax.scan: a host-driven loop pays
     # ~100+ ms dispatch latency per dependent step on the tunneled chip.
@@ -129,12 +131,25 @@ def main():
         "pose": jnp.full((STEPS,), 5e-3, jnp.float32),
         "bump": jnp.where(ts <= pose_only, 0.0, 2e-4).astype(jnp.float32),
     }
-    run = jax.jit(lambda carry: jax.lax.scan(step, carry, (ts, lrs_seq))[0])
+    run = jax.jit(lambda carry: jax.lax.scan(step, carry, (ts, lrs_seq)))
     run((params, m, v))  # compile
     t0 = time.time()
-    params, m, v = run((params, m, v))
+    (params, m, v), losses = run((params, m, v))
     jax.block_until_ready(params["pose"])
     l1 = float(loss_fn(params))
+
+    # Loss curve -> CSV; optimizer state -> resumable checkpoint.
+    losses = np.asarray(losses)
+    logger = MetricsLogger(os.path.join(OUT, "demo5_metrics.csv"),
+                           print_every=STEPS)
+    for i, lv in enumerate(losses):
+        logger.log(i + 1, loss=lv)
+    logger.close()
+    save_pytree(os.path.join(OUT, "demo5_ckpt.npz"),
+                {"params": params, "m": m, "v": v, "step": STEPS})
+    restored = load_pytree(os.path.join(OUT, "demo5_ckpt.npz"))
+    assert float(jnp.max(jnp.abs(
+        restored["params"]["pose"] - params["pose"]))) == 0.0
     print(f"inverse rendering: loss {l0:.6f} -> {l1:.6f} "
           f"({STEPS} Adam steps, {(time.time()-t0)/STEPS*1e3:.0f} ms/step)")
     print("  pose", np.asarray(params["pose"]).round(3),

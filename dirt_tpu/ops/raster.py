@@ -118,9 +118,10 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     )
     cap = resolve_bin_cap(config, num_faces, n_tiles)
 
-    geo, att, valid = setup_planes(face_verts_screen, face_attrs)
-    bbox = face_bboxes(face_verts_screen, valid, height, width)
-    table = pack_face_table(geo, att)
+    with jax.named_scope("dirt_setup"):
+        geo, att, valid = setup_planes(face_verts_screen, face_attrs)
+        bbox = face_bboxes(face_verts_screen, valid, height, width)
+        table = pack_face_table(geo, att)
 
     hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
     bg_chw = jnp.transpose(background, (2, 0, 1))
@@ -132,21 +133,27 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
             num_faces, tiles_total
         )
         cap = _pad_to(cap, binning.CHUNK)
-        bins = binning.bin_faces_csr(
-            bbox, height, width, tile_h, tile_w, cap, expand
-        )
-        binned_table = table[bins.entry_face]
-        pixels_chw, fid, zbuf = raster_forward_csr(
-            binned_table, bins.entry_face, bins.start_block, bins.counts,
-            bg_chw, tile_h=tile_h, tile_w=tile_w,
-            max_chunks=cap // binning.CHUNK,
-        )
+        with jax.named_scope("dirt_binning_csr"):
+            bins = binning.bin_faces_csr(
+                bbox, height, width, tile_h, tile_w, cap, expand
+            )
+            binned_table = table[bins.entry_face]
+        with jax.named_scope("dirt_raster_fwd_csr"):
+            pixels_chw, fid, zbuf = raster_forward_csr(
+                binned_table, bins.entry_face, bins.start_block,
+                bins.counts, bg_chw, tile_h=tile_h, tile_w=tile_w,
+                max_chunks=cap // binning.CHUNK,
+            )
     else:
-        bins = binning.bin_faces(bbox, height, width, tile_h, tile_w, cap)
-        pixels_chw, fid, zbuf = raster_forward(
-            table, bins.bins, bins.counts, bg_chw,
-            tile_h=tile_h, tile_w=tile_w,
-        )
+        with jax.named_scope("dirt_binning"):
+            bins = binning.bin_faces(
+                bbox, height, width, tile_h, tile_w, cap
+            )
+        with jax.named_scope("dirt_raster_fwd"):
+            pixels_chw, fid, zbuf = raster_forward(
+                table, bins.bins, bins.counts, bg_chw,
+                tile_h=tile_h, tile_w=tile_w,
+            )
 
     pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
     fid = fid[:height, :width]
@@ -239,12 +246,13 @@ def _bwd(config, residuals, cotangents):
 
     scatter_fn = make_scatter_fn(config, bin_res, num_faces, height, width)
 
-    (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
-    d_geo, d_att, d_background = backward_scatter(
-        geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
-        config.tile_h, config.tile_w,
-    )
-    d_fv, d_fa = vjp_fn((d_geo, d_att))
+    with jax.named_scope("dirt_raster_bwd"):
+        (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
+        d_geo, d_att, d_background = backward_scatter(
+            geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
+            config.tile_h, config.tile_w,
+        )
+        d_fv, d_fa = vjp_fn((d_geo, d_att))
     return d_fv, d_fa, d_background
 
 

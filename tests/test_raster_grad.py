@@ -198,3 +198,45 @@ def test_gradient_descent_converges_on_translation():
         float(loss(offset0)), float(loss(offset)),
     )
     assert float(jnp.abs(offset).max()) < 2.0, offset
+
+
+def test_scatter_engine_matches_jax_engine():
+    """The Pallas MXU scatter backward must equal the pure-JAX engine."""
+    import jax
+    from dirt_tpu.ops import binning
+    from dirt_tpu.ops.raster import RasterConfig, _forward_impl
+    from dirt_tpu.ops.raster_bwd import backward_jax, backward_scatter
+    from dirt_tpu.ops.scatter import scatter_to_faces
+    from dirt_tpu.ops.triangle_setup import setup_planes, screen_from_clip
+
+    rng = np.random.RandomState(7)
+    nf, size = 60, 96
+    verts = rng.uniform(-1.1, 1.1, (3 * nf, 4)).astype(np.float32)
+    verts[:, 2] = rng.uniform(-0.8, 0.8, 3 * nf)
+    verts[:, 3] = 1.0
+    faces = np.arange(3 * nf, dtype=np.int32).reshape(nf, 3)
+    colors = rng.rand(3 * nf, 3).astype(np.float32)
+    bg = jnp.zeros((size, size, 3), jnp.float32)
+    config = RasterConfig(tile_h=16, tile_w=128, bin_cap=128)
+
+    vs = screen_from_clip(jnp.asarray(verts), size, size)
+    fv = vs[jnp.asarray(faces)]
+    fa = jnp.asarray(colors)[jnp.asarray(faces)]
+    geo, att, _ = setup_planes(fv, fa)
+    pixels, fid, zbuf, bins = _forward_impl(fv, fa, bg, config)
+    gp = jnp.asarray(rng.rand(size, size, 3), jnp.float32)
+
+    ref = backward_jax(geo, att, fid, zbuf, pixels, gp)
+
+    def scatter_fn(cot_p, fid_p):
+        return scatter_to_faces(
+            cot_p, fid_p, bins.bins, bins.counts, nf + 1,
+            tile_h=16, tile_w=128,
+        )[:nf]
+
+    got = backward_scatter(
+        geo, att, fid, zbuf, pixels, gp, scatter_fn, 16, 128
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(g), rtol=2e-4, atol=2e-4)

@@ -1,0 +1,40 @@
+"""Auxiliary subsystems: checkpointing, metrics logging (SURVEY.md §5)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dirt_tpu.utils.checkpoint import load_pytree, save_pytree
+from dirt_tpu.utils.metrics import MetricsLogger
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "params": {"pose": jnp.arange(3.0), "bump": jnp.ones((7,))},
+        "opt": (jnp.zeros((2, 2)), jnp.int32(5)),
+        "steps": [jnp.float32(1.5), jnp.float32(2.5)],
+    }
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_pytree(path, tree)
+    restored = load_pytree(path)
+    assert set(restored) == {"params", "opt", "steps"}
+    np.testing.assert_array_equal(
+        restored["params"]["pose"], np.arange(3.0))
+    assert isinstance(restored["opt"], tuple)
+    assert restored["opt"][1] == 5
+    assert isinstance(restored["steps"], list)
+    assert restored["steps"][1] == 2.5
+
+
+def test_metrics_logger_csv(tmp_path):
+    path = os.path.join(tmp_path, "m.csv")
+    logger = MetricsLogger(path, print_every=100)
+    for i in range(5):
+        logger.log(i, loss=1.0 / (i + 1), mpix_s=10.0 * i)
+    logger.close()
+    lines = open(path).read().strip().splitlines()
+    assert lines[0] == "step,wall_s,loss,mpix_s"
+    assert len(lines) == 6
+    last = lines[-1].split(",")
+    assert last[0] == "4" and float(last[2]) == 0.2
