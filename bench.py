@@ -78,6 +78,30 @@ def bench_size(size, config=None, repeats=20):
     }
 
 
+def bench_streaming_100k(size=1024):
+    """Large-mesh CSR streaming path (~100k tris)."""
+    verts_obj, faces, _ = mesh.uv_sphere(n_lat=224, n_lon=224)
+    mv = matrices.compose(
+        matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
+        matrices.translation(jnp.array([0.0, 0.0, -3.0])),
+    )
+    proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
+    clip = matrices.transform_homogeneous(
+        jnp.asarray(verts_obj), matrices.compose(mv, proj)
+    )
+    colors = jnp.asarray(
+        np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32
+    )
+    bg = jnp.zeros((size, size, 3), jnp.float32)
+    faces = jnp.asarray(faces)
+    config = RasterConfig()
+    t = device_time(
+        lambda c, co, b: dirt_tpu.rasterise(b, c, co, faces, config=config),
+        (clip, colors, bg), r1=1, r2=6, samples=2,
+    )
+    return faces.shape[0], t
+
+
 def main():
     backend = jax.default_backend()
     r256 = bench_size(256)
@@ -89,6 +113,12 @@ def main():
             f"({r['fwdbwd_mpix_s']:.1f} Mpix/s) [{backend}]",
             file=sys.stderr,
         )
+    nf, t100 = bench_streaming_100k()
+    print(
+        f"# {nf}-tri streaming fwd 1024^2: {t100*1e3:.1f} ms "
+        f"({1024*1024/1e6/t100:.1f} Mpix/s)",
+        file=sys.stderr,
+    )
     value = r1024["fwdbwd_mpix_s"]
     print(json.dumps({
         "metric": "Mpix/s fwd+bwd, 1024^2, 10k-tri sphere, 1 chip",
