@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from dirt_tpu import config as cfg
 from dirt_tpu.ops import binning
-from dirt_tpu.ops.raster_bwd import backward_scatter
+from dirt_tpu.ops.raster_bwd import backward_fused, backward_scatter
 from dirt_tpu.ops.raster_fwd import (
     pack_face_table,
     raster_forward,
@@ -244,14 +244,22 @@ def _bwd(config, residuals, cotangents):
         geo, att, _ = setup_planes(fv, fa)
         return geo, att
 
-    scatter_fn = make_scatter_fn(config, bin_res, num_faces, height, width)
-
     with jax.named_scope("dirt_raster_bwd"):
         (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
-        d_geo, d_att, d_background = backward_scatter(
-            geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
-            config.tile_h, config.tile_w,
-        )
+        if use_streaming(config, num_faces):
+            scatter_fn = make_scatter_fn(
+                config, bin_res, num_faces, height, width
+            )
+            d_geo, d_att, d_background = backward_scatter(
+                geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
+                config.tile_h, config.tile_w,
+            )
+        else:
+            bins, counts = bin_res
+            d_geo, d_att, d_background = backward_fused(
+                geo, att, fid, zbuf, pixels, grad_pixels, bins, counts,
+                config.tile_h, config.tile_w,
+            )
         d_fv, d_fa = vjp_fn((d_geo, d_att))
     return d_fv, d_fa, d_background
 

@@ -72,6 +72,25 @@ def boundary_cases():
     ]
 
 
+def neighbor_maps(fid, zbuf, pixels_cf, grad_cf):
+    """Per-direction neighbor data for the boundary term (XLA shifts).
+
+    Returns a list over :func:`boundary_cases` of (nfid, nz, sval):
+    the neighbor's face id / depth, and the pair's shared intensity
+    gradient ``sval = 0.5 * sum_c (g + g_nbr)(p - p_nbr)``. Out-of-image
+    neighbors get fid -2 / z BIG_Z / sval 0 (excluded pairs).
+    """
+    out = []
+    for axis, offset, _, _ in boundary_cases():
+        nfid = _shift(fid, axis, offset, -2)
+        nz = _shift(zbuf, axis, offset, BIG_Z)
+        npix = _shift(pixels_cf, axis + 1, offset, 0.0)
+        ng = _shift(grad_cf, axis + 1, offset, 0.0)
+        sval = 0.5 * jnp.sum((grad_cf + ng) * (pixels_cf - npix), axis=0)
+        out.append((nfid, nz, sval))
+    return out
+
+
 def pixel_cotangents(g16cf, covered, fid, zbuf, pixels_cf, grad_cf):
     """Per-pixel cotangent columns w.r.t. the owning face's planes.
 
@@ -93,12 +112,32 @@ def pixel_cotangents(g16cf, covered, fid, zbuf, pixels_cf, grad_cf):
         0..3C-1.
     """
     height, width = fid.shape
-    channels = pixels_cf.shape[0]
-
     col = jnp.arange(width, dtype=jnp.float32) + 0.5
     row = jnp.arange(height, dtype=jnp.float32) + 0.5
     xg = jnp.broadcast_to(col[None, :], (height, width))
     yg = jnp.broadcast_to(row[:, None], (height, width))
+    nbrs = neighbor_maps(fid, zbuf, pixels_cf, grad_cf)
+    return pixel_cotangents_core(
+        g16cf, covered, fid, zbuf, pixels_cf, grad_cf, nbrs, xg, yg
+    )
+
+
+def pixel_cotangents_core(g16cf, covered, fid_pair, zbuf, pixels_cf,
+                          grad_cf, nbrs, xg, yg):
+    """Shift-free cotangent engine, usable inside Pallas kernels.
+
+    Args:
+        g16cf: indexable per-plane maps (``g16cf[k]`` -> [H, W]); columns
+            follow the geo layout of ``triangle_setup``.
+        fid_pair: [H, W] int32 face ids, used for the fid != nfid pair test.
+        nbrs: list over :func:`boundary_cases` of (nfid, nz, sval) from
+            :func:`neighbor_maps` (computed OUTSIDE the kernel so tile
+            kernels see cross-tile neighbors).
+        xg, yg: [H, W] global pixel-center coordinates.
+    """
+    height, width = zbuf.shape
+    channels = pixels_cf.shape[0]
+
     dxg = xg - g16cf[GEO_AX]
     dyg = yg - g16cf[GEO_AY]
 
@@ -137,19 +176,13 @@ def pixel_cotangents(g16cf, covered, fid, zbuf, pixels_cf, grad_cf):
     ]
 
     acc_edge = [[zero, zero, zero] for _ in range(3)]  # [edge][a|b|c0]
-    for axis, offset, horizontal, strict in boundary_cases():
-        # Neighbor maps; -2 marks out-of-image so border pairs are excluded.
-        img_axis = axis + 1  # channels-first shift axis
-        nfid = _shift(fid, axis, offset, -2)
-        nz = _shift(zbuf, axis, offset, BIG_Z)
-        npix = _shift(pixels_cf, img_axis, offset, 0.0)
-        ng = _shift(grad_cf, img_axis, offset, 0.0)
-        pair = (fid != nfid) & (nfid != -2) & covered
+    for case, (axis, offset, horizontal, strict) in enumerate(
+        boundary_cases()
+    ):
+        nfid, nz, s_val = nbrs[case]
+        pair = (fid_pair != nfid) & (nfid != -2) & covered
         front = (zbuf < nz) if strict else (zbuf <= nz)
         active = pair & front
-        s_val = 0.5 * jnp.sum(
-            (grad_cf + ng) * (pixels_cf - npix), axis=0
-        )  # [H, W]
 
         # Crossing-edge selection on the own (front) face's edges.
         chosen = jnp.zeros((height, width), jnp.bool_)
@@ -270,6 +303,66 @@ def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
     )
 
     rows = scatter_fn(cot, fid_p)                      # [F, 12 + 3C]
+
+    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
+    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
+    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
+    d_att = rows[:, 12:12 + 3 * channels]
+
+    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    return d_geo, d_att, d_background
+
+
+def backward_fused(geo, att, fid, zbuf, pixels, grad_pixels,
+                   bins, counts, tile_h: int, tile_w: int):
+    """Dense-path backward via the single fused Pallas kernel.
+
+    Same semantics as :func:`backward_scatter`; see ``ops.fused_bwd``.
+    """
+    from dirt_tpu.ops.binning import CHUNK
+    from dirt_tpu.ops.fused_bwd import G_ROWS, fused_backward_rows
+
+    geo = jnp.asarray(geo, jnp.float32)
+    att = jnp.asarray(att, jnp.float32)
+    num_faces = geo.shape[0]
+    channels = pixels.shape[-1]
+    height, width = fid.shape
+
+    covered = fid >= 0
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    pad2 = ((0, hp - height), (0, wp - width))
+    # Padding rows use fid -2 / BIG_Z: they neither own cotangents nor
+    # pair with true image-border pixels (matching the crop semantics).
+    fid_p = jnp.pad(fid, pad2, constant_values=-2)
+    zbuf_p = jnp.pad(zbuf, pad2, constant_values=BIG_Z)
+    pix_cf = jnp.pad(
+        jnp.transpose(pixels, (2, 0, 1)), ((0, 0),) + pad2
+    )
+    grad_cf = jnp.pad(
+        jnp.transpose(grad_pixels, (2, 0, 1)), ((0, 0),) + pad2
+    )
+    nbrs = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
+    nfid4 = jnp.stack([n[0] for n in nbrs])
+    nz4 = jnp.stack([n[1] for n in nbrs])
+    sval4 = jnp.stack([n[2] for n in nbrs])
+
+    total, cap = bins.shape
+    if cap % CHUNK:
+        pad = CHUNK - cap % CHUNK
+        bins = jnp.pad(bins, ((0, 0), (0, pad)), constant_values=num_faces)
+        cap += pad
+    geo17 = jnp.concatenate(
+        [geo[:, :G_ROWS], jnp.zeros((1, G_ROWS), jnp.float32)], axis=0
+    )
+    binned17 = geo17[bins.reshape(-1)]
+
+    rows = fused_backward_rows(
+        binned17, bins, counts, fid_p, zbuf_p, pix_cf, grad_cf,
+        nfid4, nz4, sval4, num_faces + 1,
+        tile_h=tile_h, tile_w=tile_w,
+    )[:num_faces]
 
     d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
     d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])

@@ -57,6 +57,7 @@ def _scatter_kernel(
             onehot, cot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                    # [CHUNK, K]
         rows_scratch[:] = rows
 
@@ -174,6 +175,7 @@ def _scatter_csr_kernel(
             onehot, cot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
 
