@@ -55,7 +55,7 @@ def build(size):
     return clip, colors, jnp.asarray(faces), bg, weights, len(verts_obj)
 
 
-def bench_size(size, config=None, repeats=20):
+def bench_size(size, config=None):
     config = config or RasterConfig()
     clip, colors, faces, bg, weights, _ = build(size)
 

@@ -132,7 +132,7 @@ def main():
         "bump": jnp.where(ts <= pose_only, 0.0, 2e-4).astype(jnp.float32),
     }
     run = jax.jit(lambda carry: jax.lax.scan(step, carry, (ts, lrs_seq)))
-    run((params, m, v))  # compile
+    run.lower((params, m, v)).compile()  # AOT compile, no execution
     t0 = time.time()
     (params, m, v), losses = run((params, m, v))
     jax.block_until_ready(params["pose"])

@@ -215,17 +215,10 @@ def bin_faces_csr(
     dest = jnp.where(keep, dest, n_pad - 1)
     entry_face = jnp.full((n_pad,), nf, jnp.int32)
     entry_face = entry_face.at[dest].set(jnp.where(keep, face_s, nf))
-    # The dump slot may have been clobbered by a dropped pair.
+    # Reset the dump slot (clobbered by dropped pairs). No kept pair can
+    # land there: sum of padded runs <= ceil(F*E/CHUNK)*CHUNK +
+    # T*(CHUNK-1) = n_pad - T < n_pad.
     entry_face = entry_face.at[n_pad - 1].set(nf)
-    # ... unless a kept pair legitimately landed there.
-    last_tile = total - 1
-    legit = (
-        (start_block[last_tile] * CHUNK + counts[last_tile]) == n_pad
-    )
-    last_face = jnp.max(jnp.where(keep & (dest == n_pad - 1), face_s, -1))
-    entry_face = entry_face.at[n_pad - 1].set(
-        jnp.where(legit & (last_face >= 0), last_face, nf)
-    )
 
     return CSRBins(
         entry_face=entry_face,

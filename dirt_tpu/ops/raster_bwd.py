@@ -251,6 +251,42 @@ def anchor_cotangents(geo, att, d_geo, d_att):
     return d_geo
 
 
+def pack_cotangent_tiles(d_geo_cols, d_att_cols, covered, fid,
+                         tile_h: int, tile_w: int):
+    """Stack scatterable cotangent columns and pad to tile multiples.
+
+    Column order (the contract with the scatter kernels and
+    :func:`assemble_face_gradients`): 9 edge, 3 denominator, 3C attribute.
+    Returns (cot [K, Hp, Wp], fid_p [Hp, Wp] with -1 padding).
+    """
+    height, width = fid.shape
+    scatter_cols = (
+        [d_geo_cols[GEO_EDGE + k] for k in range(9)]
+        + [d_geo_cols[GEO_DEN + k] for k in range(3)]
+        + d_att_cols
+    )
+    cot = jnp.stack(scatter_cols, axis=0)
+    cot = jnp.where(covered[None], cot, 0.0)
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    cot = jnp.pad(cot, ((0, 0), (0, hp - height), (0, wp - width)))
+    fid_p = jnp.pad(
+        jnp.where(covered, fid, -1),
+        ((0, hp - height), (0, wp - width)), constant_values=-1
+    )
+    return cot, fid_p
+
+
+def assemble_face_gradients(geo, att, rows, channels: int):
+    """Unpack scattered per-face rows into (d_geo, d_att) with anchors."""
+    num_faces = geo.shape[0]
+    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
+    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
+    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
+    d_att = rows[:, 12:12 + 3 * channels]
+    return anchor_cotangents(geo, att, d_geo, d_att), d_att
+
+
 def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
                      scatter_fn, tile_h: int, tile_w: int,
                      own_mask=None):
@@ -283,33 +319,11 @@ def backward_scatter(geo, att, fid, zbuf, pixels, grad_pixels,
     d_geo_cols, d_att_cols = pixel_cotangents(
         g16cf, covered, fid, zbuf, pixels_cf, grad_cf
     )
-
-    # Scatter only the nonzero columns: 9 edge + 3 denominator + 3C attr.
-    scatter_cols = (
-        [d_geo_cols[GEO_EDGE + k] for k in range(9)]
-        + [d_geo_cols[GEO_DEN + k] for k in range(3)]
-        + d_att_cols
+    cot, fid_p = pack_cotangent_tiles(
+        d_geo_cols, d_att_cols, covered, fid, tile_h, tile_w
     )
-    cot = jnp.stack(scatter_cols, axis=0)             # [K, H, W]
-    # Zero non-covered pixels (boundary/interior columns are masked
-    # already, but be safe for halo semantics) and pad to tile multiples.
-    cot = jnp.where(covered[None], cot, 0.0)
-    hp = -(-height // tile_h) * tile_h
-    wp = -(-width // tile_w) * tile_w
-    cot = jnp.pad(cot, ((0, 0), (0, hp - height), (0, wp - width)))
-    fid_p = jnp.pad(
-        jnp.where(covered, fid, -1),
-        ((0, hp - height), (0, wp - width)), constant_values=-1
-    )
-
     rows = scatter_fn(cot, fid_p)                      # [F, 12 + 3C]
-
-    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
-    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
-    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
-    d_att = rows[:, 12:12 + 3 * channels]
-
-    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_geo, d_att = assemble_face_gradients(geo, att, rows, channels)
     d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
     return d_geo, d_att, d_background
 
@@ -364,12 +378,7 @@ def backward_fused(geo, att, fid, zbuf, pixels, grad_pixels,
         tile_h=tile_h, tile_w=tile_w,
     )[:num_faces]
 
-    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
-    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
-    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
-    d_att = rows[:, 12:12 + 3 * channels]
-
-    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_geo, d_att = assemble_face_gradients(geo, att, rows, channels)
     d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
     return d_geo, d_att, d_background
 
@@ -404,29 +413,16 @@ def backward_scatter_halo(geo, att, fid_e, zbuf_e, pixels_e, grad_e,
     covered = covered_e[1:-1]
     fid = fid_e[1:-1]
     height, width = fid.shape
-    scatter_cols = (
-        [d_geo_cols[GEO_EDGE + k][1:-1] for k in range(9)]
-        + [d_geo_cols[GEO_DEN + k][1:-1] for k in range(3)]
-        + [c[1:-1] for c in d_att_cols]
+    d_geo_sliced = {k: d_geo_cols[k][1:-1] for k in
+                    list(range(GEO_EDGE, GEO_EDGE + 9))
+                    + list(range(GEO_DEN, GEO_DEN + 3))}
+    d_geo_own = [d_geo_sliced.get(k, None) for k in range(GEO_WIDTH)]
+    d_att_own = [c[1:-1] for c in d_att_cols]
+    cot, fid_p = pack_cotangent_tiles(
+        d_geo_own, d_att_own, covered, fid, tile_h, tile_w
     )
-    cot = jnp.stack(scatter_cols, axis=0)
-    cot = jnp.where(covered[None], cot, 0.0)
-    hp = -(-height // tile_h) * tile_h
-    wp = -(-width // tile_w) * tile_w
-    cot = jnp.pad(cot, ((0, 0), (0, hp - height), (0, wp - width)))
-    fid_p = jnp.pad(
-        jnp.where(covered, fid, -1),
-        ((0, hp - height), (0, wp - width)), constant_values=-1
-    )
-
     rows = scatter_fn(cot, fid_p)
-
-    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
-    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
-    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
-    d_att = rows[:, 12:12 + 3 * channels]
-
-    d_geo = anchor_cotangents(geo, att, d_geo, d_att)
+    d_geo, d_att = assemble_face_gradients(geo, att, rows, channels)
     d_background_e = jnp.where(covered_e[..., None], 0.0, grad_e)
     return d_geo, d_att, d_background_e
 

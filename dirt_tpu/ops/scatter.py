@@ -27,8 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dirt_tpu import config as cfg
-
-CHUNK = 128  # slots per MXU scatter step
+from dirt_tpu.ops.binning import CHUNK  # slots per MXU scatter step
 
 
 def _scatter_kernel(

@@ -55,7 +55,9 @@ def device_time(fn, example_args, r1: int = 2, r2: int = 12,
             t0 = time.perf_counter()
             float(f())
             vals.append(time.perf_counter() - t0)
-        return sorted(vals)[samples // 2]
+        # Timing noise is one-sided (spikes); min is the robust estimator
+        # and keeps the t2 - t1 difference unbiased.
+        return min(vals)
 
     t1 = sample(f1)
     t2 = sample(f2)

@@ -34,6 +34,9 @@ def load_pytree(path: str):
 
 
 def _treedef_to_json(tree):
+    if tree is None:
+        # jax.tree_util treats None as an empty node (no leaf).
+        return {"__kind__": "none"}
     if isinstance(tree, dict):
         return {"__kind__": "dict",
                 "items": {k: _treedef_to_json(v)
@@ -46,6 +49,8 @@ def _treedef_to_json(tree):
 
 def _json_to_tree(spec, leaves_iter):
     kind = spec["__kind__"]
+    if kind == "none":
+        return None
     if kind == "leaf":
         return next(leaves_iter)
     if kind == "dict":

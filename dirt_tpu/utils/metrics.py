@@ -28,6 +28,12 @@ class MetricsLogger:
             self._fields = list(scalars)
             self._file = open(self._csv_path, "w")
             self._file.write(",".join(["step", "wall_s"] + self._fields) + "\n")
+        if self._fields is not None and set(scalars) - set(self._fields):
+            raise ValueError(
+                f"new metric keys {sorted(set(scalars) - set(self._fields))} "
+                "after the CSV header was written; log them from the first "
+                "call or use a separate logger"
+            )
         if self._file is not None:
             row = [str(step), f"{time.time() - self._t0:.3f}"]
             row += [repr(scalars.get(k, float("nan"))) for k in self._fields]

@@ -38,3 +38,14 @@ def test_metrics_logger_csv(tmp_path):
     assert len(lines) == 6
     last = lines[-1].split(",")
     assert last[0] == "4" and float(last[2]) == 0.2
+
+
+def test_checkpoint_none_leaves(tmp_path):
+    tree = {"a": None, "b": jnp.arange(4.0), "c": [None, jnp.ones(2)]}
+    path = os.path.join(tmp_path, "none.npz")
+    save_pytree(path, tree)
+    restored = load_pytree(path)
+    assert restored["a"] is None
+    np.testing.assert_array_equal(restored["b"], np.arange(4.0))
+    assert restored["c"][0] is None
+    np.testing.assert_array_equal(restored["c"][1], np.ones(2))
