@@ -131,27 +131,31 @@ def setup_planes(face_verts_screen, face_attrs):
     da, db = combine_slopes(invw)
     dc = jnp.where(valid, invw[:, 0], 1.0)
 
-    geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
-    geo = geo.at[:, GEO_AX].set(jnp.where(valid, x[:, 0], 0.0))
-    geo = geo.at[:, GEO_AY].set(jnp.where(valid, y[:, 0], 0.0))
-    geo = geo.at[:, GEO_EDGE + 0:GEO_EDGE + 9:3].set(a_e)
-    geo = geo.at[:, GEO_EDGE + 1:GEO_EDGE + 9:3].set(b_e)
-    geo = geo.at[:, GEO_EDGE + 2:GEO_EDGE + 9:3].set(c_e)
-    geo = geo.at[:, GEO_Z].set(za)
-    geo = geo.at[:, GEO_Z + 1].set(zb)
-    geo = geo.at[:, GEO_Z + 2].set(zc)
-    geo = geo.at[:, GEO_DEN].set(da)
-    geo = geo.at[:, GEO_DEN + 1].set(db)
-    geo = geo.at[:, GEO_DEN + 2].set(dc)
+    # Assemble both tables with ONE stack each: per-column .at[...].set
+    # writes (especially strided ones) transpose into strided slice reads
+    # whose VJP costs ~1 ms per call on TPU; a single stack's VJP is a
+    # single unstack of contiguous slices.
+    geo_cols = [
+        jnp.where(valid, x[:, 0], 0.0),       # GEO_AX
+        jnp.where(valid, y[:, 0], 0.0),       # GEO_AY
+        a_e[:, 0], b_e[:, 0], c_e[:, 0],      # edge 0
+        a_e[:, 1], b_e[:, 1], c_e[:, 1],      # edge 1
+        a_e[:, 2], b_e[:, 2], c_e[:, 2],      # edge 2
+        za, zb, zc,                           # GEO_Z
+        da, db, dc,                           # GEO_DEN
+    ]
+    zero = jnp.zeros((num_faces,), jnp.float32)
+    geo = jnp.stack(geo_cols + [zero] * (GEO_WIDTH - GEO_USED), axis=1)
 
-    att = jnp.zeros((num_faces, 3 * channels), jnp.float32)
     weighted = fa * invw[..., None]  # [F, 3, C]
-    for c in range(channels):
-        na, nb = combine_slopes(weighted[..., c])
-        nc = jnp.where(valid, weighted[:, 0, c], 0.0)
-        att = att.at[:, 3 * c].set(na)
-        att = att.at[:, 3 * c + 1].set(nb)
-        att = att.at[:, 3 * c + 2].set(nc)
+    # [F, C] slopes for all channels at once: contract the corner axis.
+    na_all = jnp.einsum("fkc,fk->fc", weighted, a_e) * inv_area[:, None]
+    nb_all = jnp.einsum("fkc,fk->fc", weighted, b_e) * inv_area[:, None]
+    nc_all = jnp.where(valid[:, None], weighted[:, 0, :], 0.0)
+    # [F, C, 3] -> [F, 3C] with (na, nb, nc) contiguous per channel.
+    att = jnp.stack([na_all, nb_all, nc_all], axis=2).reshape(
+        num_faces, 3 * channels
+    )
 
     return geo, att, valid
 
