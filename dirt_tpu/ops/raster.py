@@ -90,20 +90,26 @@ def _pad_to(value: int, multiple: int) -> int:
 
 
 def resolve_bin_cap(
-    config: RasterConfig, num_faces: int, num_tiles: int
+    config: RasterConfig, num_faces: int, num_tiles: int,
+    streaming: bool = False,
 ) -> int:
-    """Per-tile face cap: explicit, or 8x the mean density (>= 1024).
+    """Per-tile face cap: explicit, or a multiple of the mean density.
 
     Mean binned faces per tile is about F * overlap / T; hot tiles (mesh
-    silhouettes, dense regions) run several times the mean, so an 8x
-    margin keeps the ``overflow`` flag quiet on typical scenes while the
-    static bins stay small. Overflow is still *reported*, never silent.
+    silhouettes, dense regions) run several times the mean, so a margin
+    keeps the ``overflow`` flag quiet on typical scenes while the static
+    bins stay small. The streaming kernels' grids have a step per
+    CHUNK-of-cap, so that path uses a tighter 4x margin (dense: 8x).
+    Overflow is still *reported*, never silent.
     """
     if config.bin_cap is not None:
         cap = config.bin_cap
     else:
         mean = -(-2 * num_faces // max(num_tiles, 1))
-        cap = max(cfg.DEFAULT_BIN_CAP, 8 * mean)
+        if streaming:
+            cap = max(2048, 4 * mean)
+        else:
+            cap = max(cfg.DEFAULT_BIN_CAP, 8 * mean)
     return max(min(cap, max(num_faces, 1)), 1)
 
 
@@ -116,7 +122,7 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     n_tiles = (_pad_to(height, tile_h) // tile_h) * (
         _pad_to(width, tile_w) // tile_w
     )
-    cap = resolve_bin_cap(config, num_faces, n_tiles)
+    cap = resolve_bin_cap(config, num_faces, n_tiles, streaming)
 
     with jax.named_scope("dirt_setup"):
         geo, att, valid = setup_planes(face_verts_screen, face_attrs)
@@ -210,7 +216,8 @@ def make_scatter_fn(config, bin_res, num_faces, height, width):
             _pad_to(width, config.tile_w) // config.tile_w
         )
         cap = _pad_to(
-            resolve_bin_cap(config, num_faces, n_tiles), binning.CHUNK
+            resolve_bin_cap(config, num_faces, n_tiles, streaming=True),
+            binning.CHUNK,
         )
 
         def scatter_fn(cot_p, fid_p):
@@ -247,12 +254,20 @@ def _bwd(config, residuals, cotangents):
     with jax.named_scope("dirt_raster_bwd"):
         (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
         if use_streaming(config, num_faces):
-            scatter_fn = make_scatter_fn(
-                config, bin_res, num_faces, height, width
+            from dirt_tpu.ops.raster_bwd import backward_fused_csr
+
+            entry_face, start_block, counts = bin_res
+            n_tiles = (
+                _pad_to(height, config.tile_h) // config.tile_h
+            ) * (_pad_to(width, config.tile_w) // config.tile_w)
+            cap = _pad_to(
+                resolve_bin_cap(config, num_faces, n_tiles, streaming=True),
+                binning.CHUNK,
             )
-            d_geo, d_att, d_background = backward_scatter(
-                geo, att, fid, zbuf, pixels, grad_pixels, scatter_fn,
-                config.tile_h, config.tile_w,
+            d_geo, d_att, d_background = backward_fused_csr(
+                geo, att, fid, zbuf, pixels, grad_pixels,
+                entry_face, start_block, counts, num_faces,
+                config.tile_h, config.tile_w, cap // binning.CHUNK,
             )
         else:
             bins, counts = bin_res

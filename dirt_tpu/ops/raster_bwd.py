@@ -383,6 +383,48 @@ def backward_fused(geo, att, fid, zbuf, pixels, grad_pixels,
     return d_geo, d_att, d_background
 
 
+def backward_fused_csr(geo, att, fid, zbuf, pixels, grad_pixels,
+                       entry_face, start_block, counts, num_faces: int,
+                       tile_h: int, tile_w: int, max_chunks: int):
+    """Streaming-path backward via the fused CSR kernel (ops.fused_bwd)."""
+    from dirt_tpu.ops.fused_bwd import G_ROWS, fused_backward_rows_csr
+
+    geo = jnp.asarray(geo, jnp.float32)
+    att = jnp.asarray(att, jnp.float32)
+    channels = pixels.shape[-1]
+    height, width = fid.shape
+
+    covered = fid >= 0
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width // tile_w) * tile_w
+    pad2 = ((0, hp - height), (0, wp - width))
+    fid_p = jnp.pad(fid, pad2, constant_values=-2)
+    zbuf_p = jnp.pad(zbuf, pad2, constant_values=BIG_Z)
+    pix_cf = jnp.pad(jnp.transpose(pixels, (2, 0, 1)), ((0, 0),) + pad2)
+    grad_cf = jnp.pad(
+        jnp.transpose(grad_pixels, (2, 0, 1)), ((0, 0),) + pad2
+    )
+    nbrs = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
+    nfid4 = jnp.stack([n[0] for n in nbrs])
+    nz4 = jnp.stack([n[1] for n in nbrs])
+    sval4 = jnp.stack([n[2] for n in nbrs])
+
+    geo17 = jnp.concatenate(
+        [geo[:, :G_ROWS], jnp.zeros((1, G_ROWS), jnp.float32)], axis=0
+    )
+    binned17 = geo17[entry_face]
+
+    rows = fused_backward_rows_csr(
+        binned17, entry_face, start_block, counts, fid_p, zbuf_p,
+        pix_cf, grad_cf, nfid4, nz4, sval4, num_faces,
+        tile_h=tile_h, tile_w=tile_w, max_chunks=max_chunks,
+    )
+
+    d_geo, d_att = assemble_face_gradients(geo, att, rows, channels)
+    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    return d_geo, d_att, d_background
+
+
 def backward_scatter_halo(geo, att, fid_e, zbuf_e, pixels_e, grad_e,
                           own_mask, scatter_fn, tile_h: int, tile_w: int):
     """Scatter-engine backward over row-halo-extended slab arrays.
