@@ -179,3 +179,28 @@ def test_bin_cap_smaller_than_faces():
     )
     mismatch = (fid != ref_fid).mean()
     assert mismatch < 0.002
+
+
+def test_auto_bin_cap_no_overflow_dense_scene():
+    """High face density at small resolution must not hit the auto cap
+    (regression: the fixed 1024 cap truncated busy tiles at 256^2/10k)."""
+    from dirt_tpu.core import matrices, mesh
+    from dirt_tpu.ops.raster import RasterConfig, check_bin_overflow
+    from dirt_tpu.ops.triangle_setup import screen_from_clip
+
+    verts_obj, faces, _ = mesh.uv_sphere(n_lat=40, n_lon=40)
+    mv = matrices.compose(
+        matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
+        matrices.translation(jnp.array([0.0, 0.0, -3.0])),
+    )
+    proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
+    clip = matrices.transform_homogeneous(
+        jnp.asarray(verts_obj), matrices.compose(mv, proj))
+    faces = jnp.asarray(faces)
+    size = 128
+    bg = jnp.zeros((size, size, 2), jnp.float32)
+    vs = screen_from_clip(clip, size, size)
+    colors = jnp.ones((len(verts_obj), 2), jnp.float32)
+    ov = check_bin_overflow(
+        vs[faces], colors[faces], bg, RasterConfig())
+    assert not bool(jnp.any(ov))
