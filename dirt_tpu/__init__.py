@@ -13,6 +13,7 @@ from dirt_tpu.rasterise_ops import (
     rasterise,
     rasterise_batch,
     rasterise_with_aux,
+    suggest_raster_config,
 )
 from dirt_tpu.ops.raster import RasterConfig
 
@@ -20,6 +21,7 @@ __all__ = [
     "rasterise",
     "rasterise_batch",
     "rasterise_with_aux",
+    "suggest_raster_config",
     "RasterConfig",
 ]
 __version__ = "0.1.0"

@@ -155,7 +155,9 @@ def _load_python(path: str) -> ObjMesh:
 
     with open(path) as f:
         for line in f:
-            parts = line.split()
+            # Strip trailing comments BEFORE tokenizing (the C++ parser
+            # breaks at '#'); 'f 1 2 3 # 4' must not grow a 4th corner.
+            parts = line.split("#", 1)[0].split()
             if not parts:
                 continue
             if parts[0] == "v":
@@ -165,7 +167,7 @@ def _load_python(path: str) -> ObjMesh:
             elif parts[0] == "vn":
                 ns.append(tuple(float(x) for x in parts[1:4]))
             elif parts[0] == "f":
-                ids = [corner(s) for s in parts[1:] if not s.startswith("#")]
+                ids = [corner(s) for s in parts[1:]]
                 if len(ids) < 3:
                     raise ValueError("face with <3 corners")
                 for k in range(1, len(ids) - 1):

@@ -180,12 +180,16 @@ def rasterize_screen(face_verts_screen, face_attrs, background, config):
         (pixels [H, W, C] f32,
          fid [H, W] int32 — face id per pixel, -1 = background (non-diff),
          zbuf [H, W] f32 — screen-space depth, BIG_Z at background
-         (non-diff)).
+         (non-diff),
+         overflow [] bool — True if any static bin/expand cap truncated
+         faces, i.e. the image may be missing coverage. GL (the reference)
+         can never drop triangles, so callers should treat True as "redo
+         with ``suggest_config``'s caps" (non-diff)).
     """
-    pixels, fid, zbuf, _ = _forward_impl(
+    pixels, fid, zbuf, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )
-    return pixels, fid, zbuf
+    return pixels, fid, zbuf, jnp.any(bins.overflow)
 
 
 def _fwd(face_verts_screen, face_attrs, background, config):
@@ -199,7 +203,7 @@ def _fwd(face_verts_screen, face_attrs, background, config):
     residuals = (
         face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res,
     )
-    return (pixels, fid, zbuf), residuals
+    return (pixels, fid, zbuf, jnp.any(bins.overflow)), residuals
 
 
 def make_scatter_fn(config, bin_res, num_faces, height, width):
@@ -288,3 +292,64 @@ def check_bin_overflow(face_verts_screen, face_attrs, background, config):
         face_verts_screen, face_attrs, background, config
     )
     return bins.overflow
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def count_bins_exact(bbox, height, width, tile_h, tile_w):
+    """Exact per-tile face counts + max per-face tile span, O(F + T).
+
+    2D interval stabbing by inclusion-exclusion: each face adds +1/-1 at
+    the four corners of its tile range in a difference grid; a double
+    prefix sum recovers the per-tile counts. No [T, F] matrix, so this is
+    cheap even for millions of faces — it is the "count" half of the
+    count-then-allocate strategy (:func:`suggest_config`).
+    """
+    bbox = jnp.asarray(bbox, jnp.int32)
+    tiles_y = -(-height // tile_h)
+    tiles_x = -(-width // tile_w)
+    txmin, txmax = bbox[:, 0] // tile_w, bbox[:, 1] // tile_w
+    tymin, tymax = bbox[:, 2] // tile_h, bbox[:, 3] // tile_h
+    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
+    w = valid.astype(jnp.int32)
+    diff = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.int32)
+    diff = diff.at[tymin, txmin].add(w)
+    diff = diff.at[tymin, txmax + 1].add(-w)
+    diff = diff.at[tymax + 1, txmin].add(-w)
+    diff = diff.at[tymax + 1, txmax + 1].add(w)
+    counts = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)
+    counts = counts[:tiles_y, :tiles_x].reshape(-1)
+    span = jnp.where(valid, (txmax - txmin + 1) * (tymax - tymin + 1), 0)
+    return counts, jnp.max(span)
+
+
+def suggest_config(
+    face_verts_screen, height: int, width: int,
+    config: RasterConfig | None = None, margin: float = 1.25,
+):
+    """Concrete RasterConfig whose caps cannot overflow for this scene.
+
+    The "allocate" half of count-then-allocate: measures the exact
+    per-tile bin occupancy and per-face tile span for the given geometry
+    and returns ``config`` with ``bin_cap`` / ``expand_cap`` set just
+    above the measured maxima (times ``margin`` headroom for scenes that
+    move a little during optimization). Host-synchronizing — call it
+    once OUTSIDE jit when ``rasterise_with_aux`` reports overflow (or
+    ahead of time), then render with the returned config.
+    """
+    config = (config or RasterConfig()).concrete(height)
+    num_faces = face_verts_screen.shape[0]
+    streaming = use_streaming(config, num_faces)
+    _, _, valid = setup_planes(
+        face_verts_screen,
+        jnp.zeros((num_faces, 3, 1), jnp.float32),
+    )
+    bbox = face_bboxes(face_verts_screen, valid, height, width)
+    counts, max_span = count_bins_exact(
+        bbox, height, width, config.tile_h, config.tile_w
+    )
+    max_count = int(jnp.max(counts))
+    cap = _pad_to(max(int(max_count * margin), 1), binning.CHUNK)
+    kwargs = dict(bin_cap=cap)
+    if streaming or config.streaming:
+        kwargs["expand_cap"] = max(int(int(max_span) * margin), 1)
+    return config._replace(**kwargs)

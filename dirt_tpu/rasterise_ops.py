@@ -17,7 +17,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dirt_tpu.ops.raster import RasterConfig, rasterize_screen
+from dirt_tpu.ops.raster import (
+    RasterConfig,
+    rasterize_screen,
+    suggest_config,
+)
 from dirt_tpu.ops.triangle_setup import screen_from_clip
 
 
@@ -60,14 +64,25 @@ def rasterise(
     verts_screen = screen_from_clip(vertices, h, w)   # [V, 4]
     face_verts = verts_screen[faces]                  # [F, 3, 4]
     face_attrs = vertex_colors[faces]                 # [F, 3, C]
-    pixels, _, _ = rasterize_screen(face_verts, face_attrs, background, config)
+    pixels, _, _, _ = rasterize_screen(
+        face_verts, face_attrs, background, config
+    )
     return pixels
 
 
 def rasterise_with_aux(
     background, vertices, vertex_colors, faces, config: RasterConfig | None = None
 ):
-    """Like ``rasterise`` but also returns (fid, zbuf) aux maps (non-diff)."""
+    """Like ``rasterise`` but also returns non-diff aux outputs.
+
+    Returns:
+        (pixels [H, W, C], fid [H, W] int32, zbuf [H, W] f32,
+         overflow [] bool). ``overflow`` True means a static bin cap
+        truncated faces and the image may be missing coverage — rebuild
+        the config with :func:`suggest_raster_config` and re-render
+        (GL, the reference, can never drop triangles; here the caps are
+        what make shapes static for XLA).
+    """
     h, w, c = background.shape
     config = config or RasterConfig()
     verts_screen = screen_from_clip(jnp.asarray(vertices, jnp.float32), h, w)
@@ -76,6 +91,23 @@ def rasterise_with_aux(
         jnp.asarray(faces, jnp.int32)
     ]
     return rasterize_screen(face_verts, face_attrs, background, config)
+
+
+def suggest_raster_config(
+    vertices, faces, height: int, width: int,
+    config: RasterConfig | None = None, margin: float = 1.25,
+):
+    """Count-then-allocate: a RasterConfig that cannot overflow this scene.
+
+    Measures exact per-tile occupancy / per-face tile span for the given
+    clip-space geometry (O(F) pass, host-synchronizing — call outside
+    jit) and returns a concrete config with just-large-enough caps.
+    """
+    verts_screen = screen_from_clip(
+        jnp.asarray(vertices, jnp.float32), height, width
+    )
+    face_verts = verts_screen[jnp.asarray(faces, jnp.int32)]
+    return suggest_config(face_verts, height, width, config, margin)
 
 
 def rasterise_batch(

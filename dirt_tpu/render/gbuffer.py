@@ -51,7 +51,7 @@ def render_gbuffer(
     faces = jnp.asarray(faces, jnp.int32)
     verts_screen = screen_from_clip(jnp.asarray(vertices_clip, jnp.float32),
                                     height, width)
-    pixels, fid, zbuf = rasterize_screen(
+    pixels, fid, zbuf, overflow = rasterize_screen(
         verts_screen[faces], stacked[faces], background, config
     )
 
@@ -62,4 +62,5 @@ def render_gbuffer(
         offset += k
     out["fid"] = fid
     out["zbuf"] = zbuf
+    out["overflow"] = overflow
     return out

@@ -91,8 +91,64 @@ def test_rasterise_batch_gradients():
 def test_rasterise_with_aux_maps():
     verts, colors, faces = _tri()
     bg = jnp.zeros((32, 128, 2), jnp.float32)
-    img, fid, zbuf = dirt_tpu.rasterise_with_aux(bg, verts, colors, faces)
+    img, fid, zbuf, overflow = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces)
+    assert not bool(overflow)
     covered = np.asarray(fid) == 0
     assert covered.sum() > 0
     assert (np.asarray(fid)[~covered] == -1).all()
     assert np.isfinite(np.asarray(zbuf)[covered]).all()
+
+
+def test_overflow_flag_and_suggest_config():
+    """VERDICT r1 #4: overflow must surface on the primary path, and
+    count-then-allocate (suggest_raster_config) must make an over-cap
+    scene render exactly."""
+    rng = np.random.RandomState(3)
+    n = 64
+    # n small triangles piled onto the same few pixels: per-tile count = n.
+    centers = rng.uniform(-0.05, 0.05, (n, 2)).astype(np.float32)
+    verts = []
+    for cx, cy in centers:
+        verts += [[cx - 0.1, cy - 0.1, 0.0, 1.0],
+                  [cx + 0.1, cy - 0.1, 0.0, 1.0],
+                  [cx, cy + 0.1, 0.0, 1.0]]
+    verts = jnp.asarray(verts, jnp.float32)
+    colors = jnp.asarray(
+        rng.rand(3 * n, 2).astype(np.float32))
+    faces = jnp.arange(3 * n, dtype=jnp.int32).reshape(n, 3)
+    bg = jnp.zeros((32, 128, 2), jnp.float32)
+
+    # Reference image with a cap that trivially fits everything.
+    big = dirt_tpu.RasterConfig(bin_cap=3 * n)
+    ref, _, _, ref_over = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces, config=big)
+    assert not bool(ref_over)
+
+    # Deliberately-too-small cap: flag raised on the primary path.
+    small = dirt_tpu.RasterConfig(bin_cap=8)
+    img_s, _, _, over_s = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces, config=small)
+    assert bool(over_s)
+
+    # Count-then-allocate: measured caps render exactly, no flag.
+    cfg = dirt_tpu.suggest_raster_config(
+        verts, faces, 32, 128, config=dirt_tpu.RasterConfig())
+    assert cfg.bin_cap >= n
+    img_c, _, _, over_c = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces, config=cfg)
+    assert not bool(over_c)
+    np.testing.assert_array_equal(np.asarray(img_c), np.asarray(ref))
+
+
+def test_suggest_config_streaming_expand_cap():
+    # A face spanning the whole grid must get expand_cap >= its tile span.
+    verts = jnp.array(
+        [[-1.5, -1.5, 0.0, 1.0], [1.5, -1.5, 0.0, 1.0],
+         [0.0, 1.5, 0.0, 1.0]], jnp.float32)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    cfg = dirt_tpu.suggest_raster_config(
+        verts, faces, 256, 256,
+        config=dirt_tpu.RasterConfig(streaming=True))
+    tiles = (256 // cfg.tile_h) * (256 // cfg.tile_w)
+    assert cfg.expand_cap is not None and cfg.expand_cap >= tiles

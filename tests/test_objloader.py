@@ -57,6 +57,24 @@ def test_negative_and_mixed_indices(tmp_path):
     np.testing.assert_allclose(m.vertices[m.faces[0]][:, 0], [0, 1, 0])
 
 
+def test_trailing_comment_on_face_line(tmp_path):
+    # ADVICE.md round 1: 'f 1 2 3 # 4' must yield ONE triangle (tokens
+    # after '#' are comment text), matching the C++ break-at-comment rule.
+    text = (
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0  # vertex comment\n"
+        "f 1 2 3 # 4\n"
+        "f 1 2 4 #4\n"
+    )
+    p = _write(tmp_path, text)
+    mp = load_obj(p, native=False)
+    assert mp.faces.shape == (2, 3)
+    assert mp.vertices.shape[0] == 4
+    if _native_lib() is not None:
+        mn = load_obj(p, native=True)
+        np.testing.assert_array_equal(mp.faces, mn.faces)
+        np.testing.assert_allclose(mp.vertices, mn.vertices, atol=1e-6)
+
+
 def test_native_matches_python(tmp_path):
     if _native_lib() is None:
         pytest.skip("no C++ toolchain")

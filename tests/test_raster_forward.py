@@ -20,7 +20,7 @@ def _screen_face(verts_xy, z=0.0, invw=1.0):
 
 def _run_both(face_verts, face_attrs, background, config=None):
     config = config or RasterConfig()
-    pix, fid, zbuf = rasterize_screen(
+    pix, fid, zbuf, _ = rasterize_screen(
         jnp.asarray(face_verts), jnp.asarray(face_attrs),
         jnp.asarray(background), config,
     )

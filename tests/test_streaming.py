@@ -35,9 +35,9 @@ STREAM = RasterConfig(tile_h=16, tile_w=128, bin_cap=256, streaming=True)
 
 def test_streaming_forward_matches_dense():
     verts, colors, faces, bg, _ = _scene()
-    img_d, fid_d, z_d = dirt_tpu.rasterise_with_aux(
+    img_d, fid_d, z_d, _ = dirt_tpu.rasterise_with_aux(
         bg, verts, colors, faces, config=DENSE)
-    img_s, fid_s, z_s = dirt_tpu.rasterise_with_aux(
+    img_s, fid_s, z_s, _ = dirt_tpu.rasterise_with_aux(
         bg, verts, colors, faces, config=STREAM)
     np.testing.assert_array_equal(np.asarray(fid_d), np.asarray(fid_s))
     np.testing.assert_allclose(
@@ -125,9 +125,9 @@ def test_streaming_sphere_matches_dense():
         np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32)
     bg = jnp.zeros((128, 128, 3), jnp.float32)
     faces = jnp.asarray(faces)
-    img_d, fid_d, _ = dirt_tpu.rasterise_with_aux(
+    img_d, fid_d, _, _ = dirt_tpu.rasterise_with_aux(
         bg, clip, colors, faces, config=DENSE)
-    img_s, fid_s, _ = dirt_tpu.rasterise_with_aux(
+    img_s, fid_s, _, _ = dirt_tpu.rasterise_with_aux(
         bg, clip, colors, faces, config=STREAM)
     np.testing.assert_array_equal(np.asarray(fid_d), np.asarray(fid_s))
     np.testing.assert_allclose(

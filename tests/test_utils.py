@@ -27,6 +27,26 @@ def test_checkpoint_roundtrip(tmp_path):
     assert restored["steps"][1] == 2.5
 
 
+def test_checkpoint_rejects_unknown_nodes(tmp_path):
+    # ADVICE.md round 1: custom registered nodes (e.g. optax states) and
+    # non-string dict keys must fail loudly, not corrupt leaf order.
+    import jax
+    import pytest
+
+    class Box:
+        def __init__(self, value):
+            self.value = value
+
+    jax.tree_util.register_pytree_node(
+        Box, lambda b: ((b.value,), None), lambda _, c: Box(c[0])
+    )
+    path = os.path.join(tmp_path, "bad.npz")
+    with pytest.raises(TypeError, match="pytree node|plain"):
+        save_pytree(path, {"opt": Box(jnp.zeros(3))})
+    with pytest.raises(TypeError, match="keys must be strings"):
+        save_pytree(path, {1: jnp.zeros(2)})
+
+
 def test_metrics_logger_csv(tmp_path):
     path = os.path.join(tmp_path, "m.csv")
     logger = MetricsLogger(path, print_every=100)
