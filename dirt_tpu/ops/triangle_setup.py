@@ -60,8 +60,11 @@ def screen_from_clip(vertices_clip, height: int, width: int):
 
     ``x_s = (x_ndc + 1)/2 * W``; ``y_s = (1 - y_ndc)/2 * H`` (row 0 = top);
     pixel (i, j) center is (j + 0.5, i + 0.5). Vertices with w <= W_EPS get
-    invw <= 0, which marks their faces invalid in ``setup_planes``
-    (near-plane culling; true homogeneous clipping is a planned extension).
+    invw <= 0, which marks their faces invalid in ``setup_planes`` —
+    GL-parity near-plane clipping happens upstream in clip space
+    (``ops/clipping.py``, applied by the public wrappers), so faces
+    reaching this screen-space transform are either fully projectable or
+    culled whole.
     """
     v = jnp.asarray(vertices_clip)
     w = v[..., 3]

@@ -17,7 +17,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from dirt_tpu.ops.clipping import clip_faces
 from dirt_tpu.ops.raster import (
+    STREAMING_FACES,
     RasterConfig,
     rasterize_screen,
     suggest_config,
@@ -36,9 +38,34 @@ def _resolve_shape(background, height, width, channels):
     return height, width, channels
 
 
+def _clip_space_faces(vertices, vertex_colors, faces, height, width,
+                      config, clip):
+    """Gather per-face data and (optionally) near-plane clip it.
+
+    Clipping doubles the face array (``ops/clipping.py``: primary tri at
+    slot i, secondary at F + i, degenerate padding elsewhere), so the
+    dense/streaming auto-switch and ``fid % F`` remapping are resolved
+    here from the ORIGINAL face count.
+    """
+    num_faces = faces.shape[0]
+    if clip:
+        fv_clip = vertices[faces]                     # [F, 3, 4]
+        fa = vertex_colors[faces]                     # [F, 3, C]
+        fv_clip, fa = clip_faces(fv_clip, fa)         # [2F, ...]
+        face_verts = screen_from_clip(fv_clip, height, width)
+        if config.streaming is None:
+            config = config._replace(
+                streaming=num_faces > STREAMING_FACES
+            )
+        return face_verts, fa, config, num_faces
+    verts_screen = screen_from_clip(vertices, height, width)
+    return verts_screen[faces], vertex_colors[faces], config, num_faces
+
+
 def rasterise(
     background, vertices, vertex_colors, faces,
     height=None, width=None, channels=None, config: RasterConfig | None = None,
+    clip: bool = True,
 ):
     """Rasterize one triangle mesh with z-buffering and attribute interp.
 
@@ -48,6 +75,11 @@ def rasterise(
         vertices: [V, 4] clip-space positions.
         vertex_colors: [V, C] per-vertex attributes.
         faces: [F, 3] int32.
+        clip: near-plane clip faces crossing w = 0 in homogeneous space
+            (GL parity — the reference's pipeline always clips). Set False
+            to skip the 2x face-array expansion when geometry is known to
+            be entirely in front of the camera; crossing faces are then
+            culled whole.
     Returns:
         [H, W, C] rendered image (differentiable w.r.t. background,
         vertices and vertex_colors).
@@ -61,9 +93,9 @@ def rasterise(
     vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
 
-    verts_screen = screen_from_clip(vertices, h, w)   # [V, 4]
-    face_verts = verts_screen[faces]                  # [F, 3, 4]
-    face_attrs = vertex_colors[faces]                 # [F, 3, C]
+    face_verts, face_attrs, config, _ = _clip_space_faces(
+        vertices, vertex_colors, faces, h, w, config, clip
+    )
     pixels, _, _, _ = rasterize_screen(
         face_verts, face_attrs, background, config
     )
@@ -71,7 +103,8 @@ def rasterise(
 
 
 def rasterise_with_aux(
-    background, vertices, vertex_colors, faces, config: RasterConfig | None = None
+    background, vertices, vertex_colors, faces,
+    config: RasterConfig | None = None, clip: bool = True,
 ):
     """Like ``rasterise`` but also returns non-diff aux outputs.
 
@@ -85,34 +118,48 @@ def rasterise_with_aux(
     """
     h, w, c = background.shape
     config = config or RasterConfig()
-    verts_screen = screen_from_clip(jnp.asarray(vertices, jnp.float32), h, w)
-    face_verts = verts_screen[jnp.asarray(faces, jnp.int32)]
-    face_attrs = jnp.asarray(vertex_colors, jnp.float32)[
-        jnp.asarray(faces, jnp.int32)
-    ]
-    return rasterize_screen(face_verts, face_attrs, background, config)
+    face_verts, face_attrs, config, num_faces = _clip_space_faces(
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(vertex_colors, jnp.float32),
+        jnp.asarray(faces, jnp.int32), h, w, config, clip,
+    )
+    pixels, fid, zbuf, overflow = rasterize_screen(
+        face_verts, face_attrs, background, config
+    )
+    if clip:
+        # Clipped sub-triangles live at slots i and F + i of the expanded
+        # array; report the ORIGINAL face id like the reference would.
+        fid = jnp.where(fid >= 0, fid % num_faces, fid)
+    return pixels, fid, zbuf, overflow
 
 
 def suggest_raster_config(
     vertices, faces, height: int, width: int,
     config: RasterConfig | None = None, margin: float = 1.25,
+    clip: bool = True,
 ):
     """Count-then-allocate: a RasterConfig that cannot overflow this scene.
 
     Measures exact per-tile occupancy / per-face tile span for the given
     clip-space geometry (O(F) pass, host-synchronizing — call outside
     jit) and returns a concrete config with just-large-enough caps.
+    ``clip`` must match the flag later passed to ``rasterise`` so the
+    measured face set is the rendered one.
     """
-    verts_screen = screen_from_clip(
-        jnp.asarray(vertices, jnp.float32), height, width
+    faces = jnp.asarray(faces, jnp.int32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    num_channels_dummy = jnp.zeros((vertices.shape[0], 1), jnp.float32)
+    face_verts, _, config, _ = _clip_space_faces(
+        vertices, num_channels_dummy, faces, height, width,
+        config or RasterConfig(), clip,
     )
-    face_verts = verts_screen[jnp.asarray(faces, jnp.int32)]
     return suggest_config(face_verts, height, width, config, margin)
 
 
 def rasterise_batch(
     background, vertices, vertex_colors, faces,
     height=None, width=None, channels=None, config: RasterConfig | None = None,
+    clip: bool = True,
 ):
     """Batched rasterization over leading dims of background/vertices/colors.
 
@@ -132,6 +179,6 @@ def rasterise_batch(
 
     def render_one(args):
         bg, verts, colors = args
-        return rasterise(bg, verts, colors, faces, config=config)
+        return rasterise(bg, verts, colors, faces, config=config, clip=clip)
 
     return jax.lax.map(render_one, (background, vertices, vertex_colors))

@@ -68,6 +68,83 @@ def screen_from_clip(vertices_clip, height, width):
     return np.stack([x_s, y_s, ndc[..., 2], invw], axis=-1)
 
 
+def clip_faces_np(face_verts_clip, face_attrs, w_eps=1e-4):
+    # NOTE: default w_eps must equal ops.clipping.W_CLIP_EPS.
+    """Near-plane clipping oracle: per-face Sutherland-Hodgman loop.
+
+    Independent of ``ops/clipping.py`` (plain Python walk of each face's
+    directed edges against the near half-space ``z + w > eps``, fan
+    triangulation), but with seam points computed by the *same f32 formula*
+    ``start + t * (end - start)``, ``t = (eps - s_start)/(s_end - s_start)``
+    (``s = z + w``) along the same directed original edges — so seam vertex
+    coordinates are bitwise equal to production and coverage comparisons
+    are exact.
+
+    Returns (verts [2F, 3, 4] f32, attrs [2F, 3, C] f32, orig_id [2F] i32)
+    with degenerate zero-area padding (w = 1) in unused slots; the slot
+    layout (primary tri at i, secondary at F + i) matches production so
+    face ids compare directly.
+    """
+    v = np.asarray(face_verts_clip, np.float32)
+    a = np.asarray(face_attrs, np.float32)
+    num_faces, _, channels = a.shape
+    eps32 = np.float32(w_eps)
+
+    out_v = np.zeros((2 * num_faces, 3, 4), np.float32)
+    out_v[..., 3] = 1.0
+    out_a = np.zeros((2 * num_faces, 3, channels), np.float32)
+    orig = np.concatenate([np.arange(num_faces, dtype=np.int32)] * 2)
+
+    for f in range(num_faces):
+        poly = []
+        for i in range(3):
+            j = (i + 1) % 3
+            pi, pj = v[f, i], v[f, j]
+            si = pi[2] + pi[3]
+            sj = pj[2] + pj[3]
+            inside_i = si > eps32
+            inside_j = sj > eps32
+            if inside_i:
+                poly.append((pi, a[f, i]))
+            if inside_i != inside_j:
+                den = sj - si
+                if abs(den) <= 1e-20:
+                    den = np.float32(1.0)
+                t = np.float32(min(max((eps32 - si) / den, 0.0), 1.0))
+                poly.append(
+                    (pi + t * (pj - pi), a[f, i] + t * (a[f, j] - a[f, i]))
+                )
+        if len(poly) < 3:
+            continue
+        # Fan triangulation of the (3- or 4-gon) clipped polygon.
+        tris = [
+            (poly[0], poly[k], poly[k + 1]) for k in range(1, len(poly) - 1)
+        ]
+        for slot, tri in zip((f, num_faces + f), tris):
+            out_v[slot] = np.stack([c[0] for c in tri])
+            out_a[slot] = np.stack([c[1] for c in tri])
+
+    return out_v, out_a, orig
+
+
+def oracle_forward_clipped(face_verts_clip, face_attrs, background,
+                           height=None, width=None):
+    """Clip-space oracle forward: clip -> screen transform -> rasterize.
+
+    Returns (pixels, orig_fid, zbuf) with fid re-mapped to original face
+    ids (``fid % F``), matching the public ``rasterise_with_aux`` wrapper.
+    """
+    bg = np.asarray(background)
+    height = height if height is not None else bg.shape[0]
+    width = width if width is not None else bg.shape[1]
+    cv, ca, _ = clip_faces_np(face_verts_clip, face_attrs)
+    fv = screen_from_clip(cv, height, width)
+    pixels, fid, zbuf = oracle_forward(fv, ca, bg)
+    num_faces = np.asarray(face_verts_clip).shape[0]
+    fid = np.where(fid >= 0, fid % num_faces, fid).astype(np.int32)
+    return pixels, fid, zbuf
+
+
 def _edge_planes(face_verts_screen):
     """Oriented edge planes for each face.
 
@@ -110,9 +187,10 @@ def oracle_forward(face_verts_screen, face_attrs, background):
 
     a_coef, b_coef, c_coef, _, area2 = _edge_planes(fv)
     valid = np.abs(area2) > AREA_EPS
-    # Near-plane policy (round 1): faces with any vertex w <= W_EPS are
-    # culled (invw <= 0 after screen_from_clip). Matches the production
-    # setup; true homogeneous near-clipping is a planned extension.
+    # Screen-space contract: faces with any vertex at invw <= 0 are culled
+    # whole (they have no valid projection). GL-parity near-plane CLIPPING
+    # happens upstream in clip space (clip_faces_np /
+    # oracle_forward_clipped), matching the production wrappers.
     valid &= np.all(fv[:, :, 3] > 0.0, axis=1)
 
     ys, xs = np.meshgrid(

@@ -15,12 +15,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from dirt_tpu.ops.raster import RasterConfig, rasterize_screen
-from dirt_tpu.ops.triangle_setup import screen_from_clip
 
 
 def render_gbuffer(
     vertices_clip, faces, attributes, height: int, width: int,
     config: RasterConfig | None = None, include_mask: bool = True,
+    clip: bool = True,
 ):
     """Rasterize named per-vertex attributes into image-space buffers.
 
@@ -29,6 +29,8 @@ def render_gbuffer(
         faces: [F, 3] int32.
         attributes: dict name -> [V, K] per-vertex attributes.
         include_mask: add a "mask" buffer (1 where covered, 0 background).
+        clip: near-plane clip crossing faces (GL parity; see
+            ``rasterise_ops.rasterise``). "fid" reports original face ids.
     Returns:
         dict name -> [H, W, K] buffers (plus "mask" -> [H, W, 1]);
         differentiable w.r.t. vertices and attribute values.
@@ -49,11 +51,17 @@ def render_gbuffer(
 
     background = jnp.zeros((height, width, channels), jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
-    verts_screen = screen_from_clip(jnp.asarray(vertices_clip, jnp.float32),
-                                    height, width)
-    pixels, fid, zbuf, overflow = rasterize_screen(
-        verts_screen[faces], stacked[faces], background, config
+    from dirt_tpu.rasterise_ops import _clip_space_faces
+
+    face_verts, face_attrs, config, num_faces = _clip_space_faces(
+        jnp.asarray(vertices_clip, jnp.float32), stacked, faces,
+        height, width, config, clip,
     )
+    pixels, fid, zbuf, overflow = rasterize_screen(
+        face_verts, face_attrs, background, config
+    )
+    if clip:
+        fid = jnp.where(fid >= 0, fid % num_faces, fid)
 
     out = {}
     offset = 0

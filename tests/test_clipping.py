@@ -1,0 +1,229 @@
+"""Homogeneous near-plane clipping: geometry, GL-parity renders, gradients.
+
+Closes VERDICT round-1 missing #1: the reference's GL pipeline clips faces
+crossing w = 0 (``csrc/rasterise_egl.cpp``, "GL does clipping" — SURVEY.md
+section 2.1); round 1 culled them whole. Production (``ops/clipping.py``,
+vectorized static-shape) is checked against an independent per-face
+Sutherland-Hodgman loop oracle (``ref/slowref.clip_faces_np``) and against
+full renders of straddling geometry.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import dirt_tpu
+from dirt_tpu.ops.clipping import W_CLIP_EPS, clip_faces, needs_clipping
+from dirt_tpu.ref import slowref
+
+
+def _tri_area_clip(v):
+    """Twice the signed area of a clip-space triangle's (x/w, y/w) shadow,
+    only meaningful when all w > 0; used to identify degenerate padding."""
+    x = v[:, 0] / v[:, 3]
+    y = v[:, 1] / v[:, 3]
+    return (x[1] - x[0]) * (y[2] - y[0]) - (y[1] - y[0]) * (x[2] - x[0])
+
+
+def test_all_inside_passthrough():
+    v = jnp.asarray(
+        np.random.RandomState(0).rand(5, 3, 4).astype(np.float32) + 0.5
+    )
+    a = jnp.asarray(np.random.RandomState(1).rand(5, 3, 2).astype(np.float32))
+    cv, ca = clip_faces(v, a)
+    np.testing.assert_array_equal(np.asarray(cv[:5]), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ca[:5]), np.asarray(a))
+    # Secondary slots degenerate (zero area).
+    for f in range(5):
+        assert abs(_tri_area_clip(np.asarray(cv[5 + f]))) < 1e-12
+    assert not bool(needs_clipping(v))
+
+
+def test_all_outside_culled():
+    v = jnp.asarray(np.random.RandomState(0).rand(3, 3, 4), jnp.float32)
+    v = v.at[..., 3].set(-1.0)
+    a = jnp.zeros((3, 3, 1), jnp.float32)
+    cv, _ = clip_faces(v, a)
+    for f in range(6):
+        assert abs(_tri_area_clip(np.asarray(cv[f]))) < 1e-12
+
+
+def test_one_inside_one_triangle():
+    # v0 in front (w=1), v1/v2 behind (w=-1): result is one triangle whose
+    # two new vertices sit exactly on w = eps.
+    v = jnp.array(
+        [[[0.0, 0.0, 0.0, 1.0],
+          [4.0, 0.0, 0.0, -1.0],
+          [0.0, 4.0, 0.0, -1.0]]], jnp.float32)
+    a = jnp.array([[[1.0], [2.0], [3.0]]], jnp.float32)
+    cv, ca = clip_faces(v, a)
+    tri = np.asarray(cv[0])
+    assert np.isclose(tri[0, 3], 1.0)
+    # f32 lerp rounding: the seam w is eps only to within one ulp of the
+    # inputs' scale (~5e-8 here).
+    np.testing.assert_allclose(tri[1:, 3], W_CLIP_EPS, atol=2e-7)
+    # t = (eps - 1)/(-1 - 1) ~ 0.5: midpoints of the edges.
+    t = (W_CLIP_EPS - 1.0) / (-2.0)
+    np.testing.assert_allclose(tri[1, 0], 4.0 * t, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ca[0])[1, 0], 1 + t, rtol=1e-5)
+    assert abs(_tri_area_clip(np.asarray(cv[1]))) < 1e-12  # secondary empty
+    assert bool(needs_clipping(v))
+
+
+def test_two_inside_two_triangles_cover_quad():
+    # One vertex behind the camera -> quad -> two triangles; total clip-area
+    # of the pair equals the quad area, winding consistent (same sign).
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        v = rng.uniform(-1, 1, (1, 3, 4)).astype(np.float32)
+        v[..., 2] = 0.0   # z = 0 so the inside test reduces to w > eps
+        v[..., 3] = [1.0 + rng.rand(), 0.8 + rng.rand(), -0.5 - rng.rand()]
+        perm = np.roll(np.arange(3), rng.randint(3))
+        v = v[:, perm]
+        a = rng.rand(1, 3, 2).astype(np.float32)
+        cv, _ = clip_faces(jnp.asarray(v), jnp.asarray(a))
+        a1 = _tri_area_clip(np.asarray(cv[0]))
+        a2 = _tri_area_clip(np.asarray(cv[1]))
+        assert abs(a1) > 0 and abs(a2) > 0
+        assert np.sign(a1) == np.sign(a2)
+
+
+def test_matches_oracle_clipper():
+    # Vectorized production clipper vs the independent per-face SH loop:
+    # same triangle SETS (seam coordinates bitwise equal; the quad case may
+    # differ in diagonal choice, so compare unordered vertex sets per face).
+    rng = np.random.RandomState(11)
+    v = rng.uniform(-2, 2, (64, 3, 4)).astype(np.float32)
+    v[..., 3] = rng.uniform(-1.5, 1.5, (64, 3))
+    a = rng.rand(64, 3, 3).astype(np.float32)
+    cv, ca = clip_faces(jnp.asarray(v), jnp.asarray(a))
+    ov, oa, _ = slowref.clip_faces_np(v, a)
+    cv, ca = np.asarray(cv), np.asarray(ca)
+
+    def vert_set(verts, attrs):
+        rows = np.concatenate([verts, attrs], axis=-1)  # [3, 7]
+        return {tuple(r) for r in rows.tolist()}
+
+    for f in range(64):
+        s = v[f, :, 2] + v[f, :, 3]
+        k = int(np.sum(s > W_CLIP_EPS))
+        prod = vert_set(cv[f], ca[f]) | vert_set(cv[64 + f], ca[64 + f])
+        orac = vert_set(ov[f], oa[f]) | vert_set(ov[64 + f], oa[64 + f])
+        if k in (0, 3):
+            assert prod == orac, f"face {f} (k={k})"
+        else:
+            # Mixed faces: all seam + kept vertices must agree bitwise
+            # (diagonal split may assign them to different sub-triangles).
+            assert prod == orac, f"face {f} (k={k})"
+
+
+def _straddle_scene(seed=5, n=40, channels=3, h=64, w=128):
+    """Random triangles with w straddling the near plane."""
+    rng = np.random.RandomState(seed)
+    v = rng.uniform(-1.2, 1.2, (3 * n, 4)).astype(np.float32)
+    v[:, 2] = rng.uniform(-0.5, 0.5, 3 * n)
+    v[:, 3] = rng.uniform(0.5, 2.0, 3 * n)
+    behind = rng.rand(3 * n) < 0.25
+    v[behind, 3] = -rng.uniform(0.2, 1.0, behind.sum()).astype(np.float32)
+    colors = rng.rand(3 * n, channels).astype(np.float32)
+    faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    bg = rng.rand(h, w, channels).astype(np.float32)
+    return (jnp.asarray(v), jnp.asarray(colors), jnp.asarray(faces),
+            jnp.asarray(bg), v, colors, faces, bg)
+
+
+def test_clipped_render_matches_oracle():
+    verts, colors, faces, bg, v_np, c_np, f_np, bg_np = _straddle_scene()
+    img, fid, zbuf, overflow = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces, clip=True)
+    assert not bool(overflow)
+    ref_img, ref_fid, ref_z = slowref.oracle_forward_clipped(
+        v_np[f_np], c_np[f_np], bg_np)
+    # Production and oracle may triangulate a clipped quad with different
+    # diagonals; the sub-triangles' f32 z planes then differ by rounding,
+    # which can flip the winner where two random faces interpenetrate
+    # (z gap ~1e-7). Require near-total agreement, and that every
+    # disagreeing pixel IS such a near-tie.
+    fid_np = np.asarray(fid)
+    agree = fid_np == ref_fid
+    assert agree.mean() > 0.995, f"fid agreement {agree.mean():.4f}"
+    mism = ~agree
+    np.testing.assert_allclose(
+        np.asarray(zbuf)[mism], ref_z[mism], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(img)[agree], ref_img[agree], atol=2e-4)
+    covered = (ref_fid >= 0) & agree
+    np.testing.assert_allclose(
+        np.asarray(zbuf)[covered], ref_z[covered], atol=1e-4)
+    # The scene genuinely exercises clipping: some crossing face is visible.
+    s_np = v_np[f_np][..., 2] + v_np[f_np][..., 3]
+    crossing = np.any(s_np <= 0, axis=1) & np.any(s_np > 0, axis=1)
+    assert np.isin(ref_fid[covered], np.where(crossing)[0]).any()
+
+
+def test_unclipped_path_culls_crossing_faces():
+    verts, colors, faces, bg, v_np, c_np, f_np, bg_np = _straddle_scene()
+    img_c, fid_c, _, _ = dirt_tpu.rasterise_with_aux(
+        bg, verts, colors, faces, clip=False)
+    fv = slowref.screen_from_clip(v_np, 64, 128)
+    ref_img, ref_fid, _ = slowref.oracle_forward(
+        fv[f_np], c_np[f_np], bg_np)
+    np.testing.assert_array_equal(np.asarray(fid_c), ref_fid)
+    np.testing.assert_allclose(np.asarray(img_c), ref_img, atol=2e-4)
+
+
+def test_clip_gradients_flow_and_are_finite():
+    verts, colors, faces, bg, *_ = _straddle_scene(seed=9, n=12)
+    target = jnp.zeros_like(bg)
+
+    def loss(v, c):
+        img = dirt_tpu.rasterise(bg, v, c, faces, clip=True)
+        return jnp.mean((img - target) ** 2)
+
+    g_v, g_c = jax.grad(loss, argnums=(0, 1))(verts, colors)
+    assert bool(jnp.all(jnp.isfinite(g_v)))
+    assert bool(jnp.all(jnp.isfinite(g_c)))
+    # Gradients must reach vertices that are BEHIND the camera (only
+    # possible through the clip lerp).
+    behind = np.asarray(verts)[:, 3] <= 0
+    assert behind.any()
+    assert float(jnp.abs(g_v[behind]).sum()) > 0
+
+
+def test_clip_interior_gradient_matches_fd():
+    # Finite differences through the full clipped render for a vertex
+    # whose face crosses the near plane: the loss is smooth in a
+    # neighborhood (coverage constant), so FD must match the analytic
+    # interior+lerp chain.
+    v = jnp.array(
+        [[-0.8, -0.8, 0.2, 1.5],
+         [3.0, -0.5, 0.1, -0.8],   # behind the camera
+         [-0.5, 3.0, 0.3, 1.2]], jnp.float32)
+    colors = jnp.array([[1.0, 0.2], [0.1, 0.9], [0.4, 0.5]], jnp.float32)
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    bg = jnp.zeros((48, 128, 2), jnp.float32)
+    rng = np.random.RandomState(0)
+    gsel = jnp.asarray(rng.rand(48, 128, 2).astype(np.float32))
+
+    def loss(vv):
+        return jnp.sum(
+            dirt_tpu.rasterise(bg, vv, colors, faces, clip=True) * gsel
+        )
+
+    g = jax.grad(loss)(v)
+    eps = 1e-3
+    # Perturbing the behind-camera vertex sweeps the near-plane seam, where
+    # the boundary model is approximate by design -> sign-only check.
+    # In-front vertices are dominated by exact interior terms -> magnitude.
+    for (i, j), magnitude in [
+        ((1, 3), False), ((1, 0), False), ((0, 0), True), ((2, 1), True),
+    ]:
+        vp = v.at[i, j].add(eps)
+        vm = v.at[i, j].add(-eps)
+        fd = (float(loss(vp)) - float(loss(vm))) / (2 * eps)
+        an = float(g[i, j])
+        assert np.isfinite(fd) and np.isfinite(an)
+        if abs(fd) > 1e-3:
+            assert np.sign(fd) == np.sign(an), (i, j, fd, an)
+            if magnitude:
+                assert abs(an - fd) / (abs(fd) + 1e-6) < 0.5, (i, j, fd, an)
