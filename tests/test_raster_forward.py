@@ -204,3 +204,93 @@ def test_auto_bin_cap_no_overflow_dense_scene():
     ov = check_bin_overflow(
         vs[faces], colors[faces], bg, RasterConfig())
     assert not bool(jnp.any(ov))
+
+
+# ---------------------------------------------------------------------------
+# v2 lane-packed engine: identical semantics to the v1 dense path.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+PACKED = RasterConfig(engine="packed")
+
+
+@pytest.mark.parametrize("case", [
+    "single", "depth", "perspective", "odd_size", "soup", "windings",
+])
+def test_packed_engine_matches_oracle(case):
+    rng = np.random.RandomState(11)
+    if case == "single":
+        face_verts = _screen_face(
+            [[[10.3, 50.2], [54.1, 49.7], [32.2, 10.6]]])
+        face_attrs = np.ones((1, 3, 1), np.float32)
+        background = np.zeros((64, 64, 1), np.float32)
+    elif case == "depth":
+        tri = [[8.2, 55.3], [56.9, 54.8], [31.4, 8.9]]
+        face_verts = np.stack(
+            [_screen_face([tri], z=0.5)[0], _screen_face([tri], z=-0.5)[0]])
+        face_attrs = rng.rand(2, 3, 2).astype(np.float32)
+        background = np.zeros((64, 64, 2), np.float32)
+    elif case == "perspective":
+        face_verts = np.array(
+            [[[4.2, 4.3, -0.5, 1.0], [59.6, 4.1, 0.5, 0.2],
+              [30.9, 59.8, 0.0, 0.6]]], np.float32)
+        face_attrs = np.array([[[0.0], [1.0], [0.5]]], np.float32)
+        background = np.zeros((64, 64, 1), np.float32)
+    elif case == "odd_size":
+        face_verts = _screen_face([[[9.3, 80.2], [95.1, 76.7], [52.2, 9.6]]])
+        face_attrs = np.ones((1, 3, 2), np.float32) * np.array(
+            [0.3, 0.9], np.float32)
+        background = np.zeros((100, 130, 2), np.float32)
+    elif case == "windings":
+        ccw = [[10.3, 50.2], [54.1, 49.7], [32.2, 10.6]]
+        face_verts = _screen_face([ccw, [ccw[0], ccw[2], ccw[1]]])
+        face_attrs = np.ones((2, 3, 1), np.float32)
+        background = np.zeros((64, 64, 1), np.float32)
+    else:  # soup
+        num_faces = 60
+        height, width = 96, 160
+        centers = rng.uniform(
+            [10, 10], [width - 10, height - 10], (num_faces, 1, 2))
+        offsets = rng.uniform(-25, 25, (num_faces, 3, 2))
+        xy = (centers + offsets).astype(np.float32)
+        z = rng.uniform(-0.9, 0.9, (num_faces, 1)).astype(np.float32)
+        face_verts = _screen_face(xy, z=z)
+        face_attrs = rng.uniform(0, 1, (num_faces, 3, 4)).astype(np.float32)
+        background = rng.uniform(0, 1, (height, width, 4)).astype(np.float32)
+
+    pix, fid, zbuf, ref_pix, ref_fid, ref_z = _run_both(
+        face_verts, face_attrs, background, PACKED)
+    mismatch = fid != ref_fid
+    assert mismatch.mean() < 0.002, f"{case}: {mismatch.mean():.4f}"
+    agree = ~mismatch
+    np.testing.assert_allclose(pix[agree], ref_pix[agree], atol=1e-4)
+    covered = (fid >= 0) & agree
+    np.testing.assert_allclose(zbuf[covered], ref_z[covered], atol=1e-4)
+
+
+def test_packed_engine_bitwise_matches_dense():
+    """Packed and dense engines share plane setup and z rules: identical
+    fid maps and bitwise-close images on the same scene."""
+    rng = np.random.RandomState(23)
+    num_faces = 80
+    height, width = 128, 256
+    centers = rng.uniform(
+        [5, 5], [width - 5, height - 5], (num_faces, 1, 2))
+    xy = (centers + rng.uniform(-20, 20, (num_faces, 3, 2))).astype(
+        np.float32)
+    z = rng.uniform(-0.9, 0.9, (num_faces, 1)).astype(np.float32)
+    face_verts = _screen_face(xy, z=z)
+    face_attrs = rng.rand(num_faces, 3, 3).astype(np.float32)
+    background = rng.rand(height, width, 3).astype(np.float32)
+
+    args = (jnp.asarray(face_verts), jnp.asarray(face_attrs),
+            jnp.asarray(background))
+    pix_d, fid_d, z_d, _ = rasterize_screen(
+        *args, RasterConfig(engine="dense"))
+    pix_p, fid_p, z_p, _ = rasterize_screen(*args, PACKED)
+    np.testing.assert_array_equal(np.asarray(fid_d), np.asarray(fid_p))
+    np.testing.assert_allclose(
+        np.asarray(pix_d), np.asarray(pix_p), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(z_d), np.asarray(z_p), atol=1e-6)
