@@ -1,0 +1,324 @@
+"""Fused backward for the packed-subtile engine (round 2).
+
+TPU-native equivalent of the reference's gradient op
+(``csrc/rasterise_grad_egl.*`` — SURVEY.md sections 2.1, 3.2), third
+generation: one Pallas pass over the SAME packed bins the forward used
+(``binning.bin_faces_packed``), with a flat chunk grid (zero skipped
+steps — the v1 fused backward's (tiles, 2*cap_chunks+1) grid burned
+~1.2 us per mostly-skipped step, ~3 ms at 1024^2).
+
+Per (128-row window, strip) with any binned content, ONE kernel step:
+
+  gather   g = rows^T @ onehot            (MXU, HIGHEST — exact one-hot
+           value transfer; a ones-column rides along as the "this
+           window holds the pixel's winner" indicator, so windows/
+           chunks compose without cross-talk)
+  cotangents = pixel_cotangents_core      (VPU, shared with all other
+           backward engines; neighbor maps precomputed at XLA level and
+           pre-permuted to the flat-subtile layout)
+  scatter  contrib = onehot @ cot^T       (MXU) -> written as compact
+           per-entry rows (STATIC stores; in-kernel dynamic-row
+           accumulation costs ~100-200 ns per row even with SMEM-sourced
+           indices) and reduced to faces by one XLA segment_sum.
+
+Duplicate-face guard: a face can be binned in several subtiles of one
+strip (one row per lane group); the one-hot therefore also matches rows
+to their OWN group's pixels (a static [rows, px] mask), so each pixel
+pairs with exactly one row.
+
+All image-space fields are pre-permuted at the XLA level to a
+"strip-flat" layout [n_strips, tiles_x, 1024] (strip pixels flattened
+into lanes as (group, row, col)): in-kernel [8,128]<->[1,1024] reshapes
+are sublane<->lane RELAYOUTS costing thousands of cycles per
+(window, strip) pair — pre-permuting makes every kernel slice a plain
+[1, 1024] row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dirt_tpu import config as cfg
+from dirt_tpu.ops.binning import GROUPS, PACK_CHUNK, PACK_ITERS, SUB_H
+from dirt_tpu.ops.raster_bwd import (
+    GEO_DEN,
+    GEO_EDGE,
+    assemble_face_gradients,
+    neighbor_maps,
+    pixel_cotangents_core,
+)
+from dirt_tpu.ops.raster_fwd import (
+    BIG_Z,
+    COL_ATT,
+    COL_ID,
+    pack_face_table_v2,
+)
+
+WINDOW = 128  # rows per matmul window (16 iterations)
+
+
+def to_strip_flat(x, tile_w: int = 128):
+    """[..., Hp, Wp] image layout -> [..., Hp/8, Wp/128, 1024] strip-flat.
+
+    Lane q of strip row S, tile-column tx holds image pixel
+    (y = 8*S + (q % 128) // 16, x = 128*tx + 16*(q // 128) + q % 16) —
+    i.e. the flat-subtile layout with each strip's 8x128 block flattened
+    lane-major by (group k, row r, col c). One minor-dim-preserving 6D
+    transpose at XLA; everything in-kernel is then a static [1, 1024] row.
+    """
+    *lead, hp, wp = x.shape
+    ns, txn = hp // SUB_H, wp // tile_w
+    y = x.reshape(*lead, ns, SUB_H, txn, GROUPS, 16)
+    y = jnp.moveaxis(y, -4, -2)            # [.., ns, txn, k, r, c]
+    return y.reshape(*lead, ns, txn, SUB_H * tile_w)
+
+
+def _bwd_packed_kernel(
+    meta_ref, rows_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
+    nfid_ref, nz_ref, sval_ref,
+    out_ref,
+    rows_scratch,
+    *, channels: int, k_cols: int, col_one: int, tile_h: int,
+    tile_w: int, tiles_x: int, total: int, budget_chunks: int,
+    width: int,
+):
+    strips = tile_h // SUB_H
+    px = SUB_H * tile_w                     # strip pixels, flattened
+    c = pl.program_id(0)
+    t = meta_ref[c]
+    sb = meta_ref[budget_chunks + t]
+    n_it = meta_ref[budget_chunks + total + t]
+    off_base = budget_chunks + 2 * total
+    cnt_base = off_base + total * strips
+    j = c - sb
+    content = j * PACK_ITERS < n_it
+
+    @pl.when(jnp.logical_not(content))
+    def _():
+        # Skipped chunks still own an output block: zero it so the
+        # XLA-side segment reduction sees no garbage.
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(content)
+    def _():
+        tx = t % tiles_x
+        ty = t // tiles_x
+        # Strip-flat lane decomposition: q = k*tile_w + r*SUB_W + cc.
+        q = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+        kq = q // tile_w
+        rq = (q % tile_w) // (tile_w // GROUPS)
+        cq = q % (tile_w // GROUPS)
+        xgf = (
+            tx * tile_w + kq * (tile_w // GROUPS) + cq
+        ).astype(jnp.float32) + 0.5
+        chunk_lo = j * PACK_ITERS
+        chunk_hi = jnp.minimum(chunk_lo + PACK_ITERS, n_it)
+
+        # Static constants for the row <-> pixel-group pairing.
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, 1), 0)
+        pxg = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, px), 1) // tile_w
+        grp_mask = (row_i % GROUPS) == pxg                # [WINDOW, px]
+
+        def _window_strips(w, w_lo, w_hi):
+            rows_w = rows_ref[w * WINDOW:(w + 1) * WINDOW, :]
+            fidv = rows_w[:, COL_ID:COL_ID + 1]           # [WINDOW, 1]
+
+            for s in range(strips):
+                lo = jnp.maximum(
+                    meta_ref[off_base + t * strips + s], chunk_lo
+                )
+                hi = jnp.minimum(
+                    meta_ref[off_base + t * strips + s]
+                    + meta_ref[cnt_base + t * strips + s],
+                    chunk_hi,
+                )
+                a = jnp.maximum(lo, w_lo)
+                b = jnp.minimum(hi, w_hi)
+
+                @pl.when(a < b)
+                def _(s=s, lo=lo, hi=hi):
+                    ygf = (
+                        ty * tile_h + s * SUB_H + rq
+                    ).astype(jnp.float32) + 0.5
+                    fid_s = fid_ref[s, :, :]               # [1, px]
+                    fid_flat = fid_s.astype(jnp.float32)
+                    it_of_row = (
+                        chunk_lo
+                        + (w * WINDOW + row_i) // GROUPS
+                    )                                      # [WINDOW, 1]
+                    active = (it_of_row >= lo) & (it_of_row < hi)
+                    onehot = (
+                        (fidv == fid_flat) & grp_mask & active
+                    ).astype(jnp.float32)                  # [WINDOW, px]
+
+                    g = jax.lax.dot_general(
+                        rows_w, onehot,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                       # [W, px]
+                    g16 = [g[k:k + 1, :] for k in range(17)]
+                    covered = g[col_one:col_one + 1, :] > 0.5
+
+                    nbrs = [
+                        (nfid_ref[n, s, :, :], nz_ref[n, s, :, :],
+                         sval_ref[n, s, :, :])
+                        for n in range(4)
+                    ]
+                    d_geo, d_att = pixel_cotangents_core(
+                        g16, covered, fid_s, zbuf_ref[s, :, :],
+                        pix_ref[:, s, :, :], grad_ref[:, s, :, :],
+                        nbrs, xgf, ygf,
+                    )
+                    cot_cols = (
+                        [d_geo[GEO_EDGE + k] for k in range(9)]
+                        + [d_geo[GEO_DEN + k] for k in range(3)]
+                        + d_att
+                    )
+                    # Each column is already [1, px]: concatenating gives
+                    # the [K, px] matmul operand with NO relayout.
+                    cot = jnp.concatenate(cot_cols, axis=0)
+                    cot = jnp.where(covered, cot, 0.0)
+                    contrib = jax.lax.dot_general(
+                        onehot, cot,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )                                       # [WINDOW, K]
+                    # Accumulate strips of this window in scratch; each
+                    # row's face lives in exactly one strip, so sums are
+                    # disjoint.
+                    rows_scratch[:] = rows_scratch[:] + contrib
+
+        for w in range(PACK_CHUNK // WINDOW):
+            # Window's iteration range (static offset within chunk).
+            w_lo = chunk_lo + w * (WINDOW // GROUPS)
+            w_hi = w_lo + WINDOW // GROUPS
+            rows_scratch[:] = jnp.zeros_like(rows_scratch)
+
+            @pl.when(w_lo < chunk_hi)
+            def _(w=w, w_lo=w_lo, w_hi=w_hi):
+                _window_strips(w, w_lo, w_hi)
+
+            # Unconditional STATIC store of the window's compact rows.
+            out_ref[w * WINDOW:(w + 1) * WINDOW, :] = rows_scratch[:]
+
+
+def backward_packed(
+    geo, att, fid, zbuf, pixels, grad_pixels, bins, num_faces: int,
+    tile_h: int, tile_w: int, interpret: bool | None = None,
+):
+    """Gradients w.r.t. plane coefficients over packed bins.
+
+    Same semantics as ``raster_bwd.backward_fused`` (interior exact +
+    occlusion-aware boundary; see module docstring); returns
+    (d_geo [F, 24], d_att [F, 3C], d_background [H, W, C]).
+    """
+    geo = jnp.asarray(geo, jnp.float32)
+    att = jnp.asarray(att, jnp.float32)
+    channels = pixels.shape[-1]
+    k_cols = 12 + 3 * channels
+    height, width_img = fid.shape
+    hp = -(-height // tile_h) * tile_h
+    wp = -(-width_img // tile_w) * tile_w
+    tiles_x = wp // tile_w
+    total = (hp // tile_h) * tiles_x
+    if interpret is None:
+        interpret = cfg.use_interpret()
+
+    covered = fid >= 0
+    pad2 = ((0, hp - height), (0, wp - width_img))
+    fid_p = jnp.pad(fid, pad2, constant_values=-2)
+    zbuf_p = jnp.pad(zbuf, pad2, constant_values=BIG_Z)
+    pix_cf = jnp.pad(jnp.transpose(pixels, (2, 0, 1)), ((0, 0),) + pad2)
+    grad_cf = jnp.pad(
+        jnp.transpose(grad_pixels, (2, 0, 1)), ((0, 0),) + pad2
+    )
+    nbrs = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
+    nfid4 = jnp.stack([n[0] for n in nbrs])
+    nz4 = jnp.stack([n[1] for n in nbrs])
+    sval4 = jnp.stack([n[2] for n in nbrs])
+
+    # Strip-flat layout (matches the forward's bins + lane-major strips).
+    fid_f = to_strip_flat(fid_p, tile_w)
+    zbuf_f = to_strip_flat(zbuf_p, tile_w)
+    pix_f = to_strip_flat(pix_cf, tile_w)
+    grad_f = to_strip_flat(grad_cf, tile_w)
+    nfid_f = to_strip_flat(nfid4, tile_w)
+    nz_f = to_strip_flat(nz4, tile_w)
+    sval_f = to_strip_flat(sval4, tile_w)
+
+    table2 = pack_face_table_v2(geo, att)
+    width = table2.shape[1]
+    col_one = COL_ATT + 3 * channels
+    assert col_one < width, "packed table needs a spare ones column"
+    table2 = table2.at[:, col_one].set(1.0)
+    with jax.named_scope("dirt_packed_bwd_gather"):
+        rows = table2[bins.entries // 8]
+
+    budget_rows = bins.entries.shape[0]
+    budget_chunks = budget_rows // PACK_CHUNK
+    meta = jnp.concatenate(
+        [bins.chunk_tile, bins.start_block, bins.n_iters,
+         bins.iter_off, bins.strip_iters]
+    ).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _bwd_packed_kernel,
+        channels=channels, k_cols=k_cols, col_one=col_one,
+        tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, total=total,
+        budget_chunks=budget_chunks, width=width,
+    )
+    strips = tile_h // SUB_H
+    px = SUB_H * tile_w
+    img = lambda c, m: (m[c] // tiles_x, m[c] % tiles_x, 0)
+    imgc = lambda c, m: (0, m[c] // tiles_x, m[c] % tiles_x, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(budget_chunks,),
+        in_specs=[
+            pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((strips, 1, px), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((strips, 1, px), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, strips, 1, px), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, strips, 1, px), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, strips, 1, px), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, strips, 1, px), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, strips, 1, px), imgc,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (PACK_CHUNK, k_cols), lambda c, m: (c, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WINDOW, k_cols), jnp.float32),
+        ],
+    )
+    entry_rows = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((budget_rows, k_cols), jnp.float32),
+        interpret=interpret,
+    )(meta, rows, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f, sval_f)
+
+    with jax.named_scope("dirt_packed_bwd_reduce"):
+        face_rows = jax.ops.segment_sum(
+            entry_rows, bins.entries // 8, num_segments=num_faces + 1
+        )
+    d_geo, d_att = assemble_face_gradients(
+        geo, att, face_rows[:num_faces], channels
+    )
+    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    return d_geo, d_att, d_background

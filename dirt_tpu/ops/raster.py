@@ -109,10 +109,8 @@ def resolve_engine(config: RasterConfig, num_faces: int) -> str:
         return "csr"
     if config.streaming is False:
         return "dense"
-    # TODO(round 2): flip auto to "packed" for >= PACKED_MIN_FACES once
-    # the packed backward lands; until then auto keeps the v1 behavior.
-    if num_faces > STREAMING_FACES:
-        return "csr"
+    if num_faces >= PACKED_MIN_FACES:
+        return "packed"
     return "dense"
 
 
@@ -259,44 +257,12 @@ def rasterize_screen(face_verts_screen, face_attrs, background, config):
 def _fwd(face_verts_screen, face_attrs, background, config):
     num_faces = face_verts_screen.shape[0]
     engine = resolve_engine(config, num_faces)
-    if engine == "packed":
-        # TEMP (round 2, mid-migration): the packed backward kernel is not
-        # wired yet, so differentiation re-bins with the v1 layout.
-        height, width, _ = background.shape
-        ccfg = config.concrete(height)
-        streaming = use_streaming(
-            config._replace(engine="auto"), num_faces
-        )
-        pixels, fid, zbuf, bins = _forward_impl(
-            face_verts_screen, face_attrs, background, config
-        )
-        _, _, valid = setup_planes(face_verts_screen, face_attrs)
-        bbox = face_bboxes(face_verts_screen, valid, height, width)
-        n_tiles = (
-            _pad_to(height, ccfg.tile_h) // ccfg.tile_h
-        ) * (_pad_to(width, ccfg.tile_w) // ccfg.tile_w)
-        cap = resolve_bin_cap(config, num_faces, n_tiles, streaming)
-        if streaming:
-            expand = binning.auto_expand_cap(num_faces, n_tiles)
-            cap = _pad_to(cap, binning.CHUNK)
-            vb = binning.bin_faces_csr(
-                bbox, height, width, ccfg.tile_h, ccfg.tile_w, cap, expand
-            )
-            bin_res = (vb.entry_face, vb.start_block, vb.counts)
-        else:
-            vb = binning.bin_faces(
-                bbox, height, width, ccfg.tile_h, ccfg.tile_w, cap
-            )
-            bin_res = (vb.bins, vb.counts)
-        residuals = (
-            face_verts_screen, face_attrs, pixels, fid, zbuf, bin_res,
-        )
-        return (pixels, fid, zbuf, jnp.any(bins.overflow)), residuals
-
     pixels, fid, zbuf, bins = _forward_impl(
         face_verts_screen, face_attrs, background, config
     )
-    if use_streaming(config, face_verts_screen.shape[0]):
+    if engine == "packed":
+        bin_res = bins                    # PackedBins, reused by backward
+    elif use_streaming(config, num_faces):
         bin_res = (bins.entry_face, bins.start_block, bins.counts)
     else:
         bin_res = (bins.bins, bins.counts)
@@ -355,9 +321,17 @@ def _bwd(config, residuals, cotangents):
         geo, att, _ = setup_planes(fv, fa)
         return geo, att
 
+    engine = resolve_engine(config, num_faces)
     with jax.named_scope("dirt_raster_bwd"):
         (geo, att), vjp_fn = jax.vjp(planes, face_verts_screen, face_attrs)
-        if use_streaming(config, num_faces):
+        if engine == "packed":
+            from dirt_tpu.ops.packed_bwd import backward_packed
+
+            d_geo, d_att, d_background = backward_packed(
+                geo, att, fid, zbuf, pixels, grad_pixels, bin_res,
+                num_faces, config.tile_h, config.tile_w,
+            )
+        elif use_streaming(config, num_faces):
             from dirt_tpu.ops.raster_bwd import backward_fused_csr
 
             entry_face, start_block, counts = bin_res

@@ -31,9 +31,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from dirt_tpu.ops.raster import (
+    STREAMING_FACES,
     RasterConfig,
     _forward_impl,
     make_scatter_fn,
+    resolve_engine,
     use_streaming,
 )
 from dirt_tpu.ops.raster_bwd import backward_scatter_halo
@@ -175,6 +177,12 @@ def slab_render(
     """
     config = (config or RasterConfig()).concrete(bg_slab.shape[0])
     faces = jnp.asarray(faces, jnp.int32)
+    if resolve_engine(config, faces.shape[0]) == "packed":
+        # The slab backward consumes v1 bin layouts (make_scatter_fn);
+        # pin a v1 engine until the packed slab path lands.
+        config = config._replace(
+            engine="csr" if faces.shape[0] > STREAMING_FACES else "dense"
+        )
     slab_h = bg_slab.shape[0]
     slab_op = _make_slab_op(config, axis, height)
     idx = jax.lax.axis_index(axis)
