@@ -63,19 +63,25 @@ WINDOW = 128  # rows per matmul window (16 iterations)
 
 
 def to_strip_flat(x, tile_w: int = 128):
-    """[..., Hp, Wp] image layout -> [..., Hp/8, Wp/128, 1024] strip-flat.
+    """[..., Hp, Wp] image layout -> [..., Wp/128, Hp/8, 1024] strip-flat.
 
     Lane q of strip row S, tile-column tx holds image pixel
     (y = 8*S + (q % 128) // 16, x = 128*tx + 16*(q // 128) + q % 16) —
     i.e. the flat-subtile layout with each strip's 8x128 block flattened
-    lane-major by (group k, row r, col c). One minor-dim-preserving 6D
-    transpose at XLA; everything in-kernel is then a static [1, 1024] row.
+    lane-major by (group k, row r, col c). Tile-column-major so kernel
+    blocks are (1, strips, 1024) — last two dims (8, 1024)-aligned as
+    Mosaic requires. One minor-dim-preserving transpose at XLA;
+    everything in-kernel is then a static [1, 1024] row.
     """
     *lead, hp, wp = x.shape
     ns, txn = hp // SUB_H, wp // tile_w
     y = x.reshape(*lead, ns, SUB_H, txn, GROUPS, 16)
-    y = jnp.moveaxis(y, -4, -2)            # [.., ns, txn, k, r, c]
-    return y.reshape(*lead, ns, txn, SUB_H * tile_w)
+    base = len(lead)
+    perm = tuple(range(base)) + (
+        base + 2, base + 0, base + 3, base + 1, base + 4
+    )
+    y = jnp.transpose(y, perm)             # [.., txn, ns, k, r, c]
+    return y.reshape(*lead, txn, ns, SUB_H * tile_w)
 
 
 def _bwd_packed_kernel(
@@ -145,7 +151,7 @@ def _bwd_packed_kernel(
                     ygf = (
                         ty * tile_h + s * SUB_H + rq
                     ).astype(jnp.float32) + 0.5
-                    fid_s = fid_ref[s, :, :]               # [1, px]
+                    fid_s = fid_ref[0, s:s + 1, :]         # [1, px]
                     fid_flat = fid_s.astype(jnp.float32)
                     it_of_row = (
                         chunk_lo
@@ -166,13 +172,15 @@ def _bwd_packed_kernel(
                     covered = g[col_one:col_one + 1, :] > 0.5
 
                     nbrs = [
-                        (nfid_ref[n, s, :, :], nz_ref[n, s, :, :],
-                         sval_ref[n, s, :, :])
+                        (nfid_ref[n, 0, s:s + 1, :],
+                         nz_ref[n, 0, s:s + 1, :],
+                         sval_ref[n, 0, s:s + 1, :])
                         for n in range(4)
                     ]
                     d_geo, d_att = pixel_cotangents_core(
-                        g16, covered, fid_s, zbuf_ref[s, :, :],
-                        pix_ref[:, s, :, :], grad_ref[:, s, :, :],
+                        g16, covered, fid_s, zbuf_ref[0, s:s + 1, :],
+                        pix_ref[:, 0, s:s + 1, :],
+                        grad_ref[:, 0, s:s + 1, :],
                         nbrs, xgf, ygf,
                     )
                     cot_cols = (
@@ -276,8 +284,8 @@ def backward_packed(
     )
     strips = tile_h // SUB_H
     px = SUB_H * tile_w
-    img = lambda c, m: (m[c] // tiles_x, m[c] % tiles_x, 0)
-    imgc = lambda c, m: (0, m[c] // tiles_x, m[c] % tiles_x, 0)
+    img = lambda c, m: (m[c] % tiles_x, m[c] // tiles_x, 0)
+    imgc = lambda c, m: (0, m[c] % tiles_x, m[c] // tiles_x, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -285,17 +293,17 @@ def backward_packed(
         in_specs=[
             pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((strips, 1, px), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((strips, 1, px), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, strips, 1, px), imgc,
+            pl.BlockSpec((1, strips, px), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, strips, px), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, 1, strips, px), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, strips, 1, px), imgc,
+            pl.BlockSpec((channels, 1, strips, px), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, strips, 1, px), imgc,
+            pl.BlockSpec((4, 1, strips, px), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, strips, 1, px), imgc,
+            pl.BlockSpec((4, 1, strips, px), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, strips, 1, px), imgc,
+            pl.BlockSpec((4, 1, strips, px), imgc,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(

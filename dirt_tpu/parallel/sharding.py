@@ -208,12 +208,20 @@ def rasterise_sharded(
         vertex_colors: [V, C] (replicated).
         faces: [F, 3] int32 (replicated, static).
         mesh: jax.sharding.Mesh containing ``axis``.
+        axis: mesh axis name for the image rows — or a TUPLE of names
+            for two-level meshes (e.g. ``("dcn", "tiles")`` from
+            ``parallel.multihost.make_render_mesh``: rows shard
+            dcn-major so each host owns a contiguous band and halo
+            ppermutes cross DCN only at band boundaries).
     Returns:
         [H, W, C] rendered image, sharded along rows; differentiable w.r.t.
         background, vertices, vertex_colors (parameter grads all-reduced).
     """
     height, width, _ = background.shape
-    n = mesh.shape[axis]
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     config = (config or RasterConfig()).concrete(height // n)
     if height % (n * config.tile_h) != 0:
         raise ValueError(
