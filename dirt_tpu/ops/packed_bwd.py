@@ -26,12 +26,11 @@ strip (one row per lane group); the one-hot therefore also matches rows
 to their OWN group's pixels (a static [rows, px] mask), so each pixel
 pairs with exactly one row.
 
-All image-space fields are pre-permuted at the XLA level to a
-"strip-flat" layout [n_strips, tiles_x, 1024] (strip pixels flattened
-into lanes as (group, row, col)): in-kernel [8,128]<->[1,1024] reshapes
-are sublane<->lane RELAYOUTS costing thousands of cycles per
-(window, strip) pair — pre-permuting makes every kernel slice a plain
-[1, 1024] row.
+All image-space fields run in the flat-subtile layout
+(``raster_fwd.flat_subtile_swap``) so pixel positions line up with the
+forward's bins; compute stays on [8, 128]-shaped values (full vreg
+utilization — a [1, 1024] strip-flat layout wastes 7/8 of every sublane
+and made the cotangent core ~8x slower when tried).
 """
 
 from __future__ import annotations
@@ -56,32 +55,11 @@ from dirt_tpu.ops.raster_fwd import (
     BIG_Z,
     COL_ATT,
     COL_ID,
+    flat_subtile_swap,
     pack_face_table_v2,
 )
 
 WINDOW = 128  # rows per matmul window (16 iterations)
-
-
-def to_strip_flat(x, tile_w: int = 128):
-    """[..., Hp, Wp] image layout -> [..., Wp/128, Hp/8, 1024] strip-flat.
-
-    Lane q of strip row S, tile-column tx holds image pixel
-    (y = 8*S + (q % 128) // 16, x = 128*tx + 16*(q // 128) + q % 16) —
-    i.e. the flat-subtile layout with each strip's 8x128 block flattened
-    lane-major by (group k, row r, col c). Tile-column-major so kernel
-    blocks are (1, strips, 1024) — last two dims (8, 1024)-aligned as
-    Mosaic requires. One minor-dim-preserving transpose at XLA;
-    everything in-kernel is then a static [1, 1024] row.
-    """
-    *lead, hp, wp = x.shape
-    ns, txn = hp // SUB_H, wp // tile_w
-    y = x.reshape(*lead, ns, SUB_H, txn, GROUPS, 16)
-    base = len(lead)
-    perm = tuple(range(base)) + (
-        base + 2, base + 0, base + 3, base + 1, base + 4
-    )
-    y = jnp.transpose(y, perm)             # [.., txn, ns, k, r, c]
-    return y.reshape(*lead, txn, ns, SUB_H * tile_w)
 
 
 def _bwd_packed_kernel(
@@ -114,13 +92,14 @@ def _bwd_packed_kernel(
     def _():
         tx = t % tiles_x
         ty = t // tiles_x
-        # Strip-flat lane decomposition: q = k*tile_w + r*SUB_W + cc.
-        q = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
-        kq = q // tile_w
-        rq = (q % tile_w) // (tile_w // GROUPS)
-        cq = q % (tile_w // GROUPS)
+        # Flat-subtile pixel coordinates (see flat_subtile_swap): sublane
+        # k owns lane group k's 8x16 subtile; lane l = 16*r + c.
+        subl = jax.lax.broadcasted_iota(jnp.int32, (SUB_H, tile_w), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB_H, tile_w), 1)
+        pxi = lane % (tile_w // GROUPS)
+        pyi = lane // (tile_w // GROUPS)
         xgf = (
-            tx * tile_w + kq * (tile_w // GROUPS) + cq
+            tx * tile_w + subl * (tile_w // GROUPS) + pxi
         ).astype(jnp.float32) + 0.5
         chunk_lo = j * PACK_ITERS
         chunk_hi = jnp.minimum(chunk_lo + PACK_ITERS, n_it)
@@ -148,11 +127,12 @@ def _bwd_packed_kernel(
 
                 @pl.when(a < b)
                 def _(s=s, lo=lo, hi=hi):
+                    rs = slice(s * SUB_H, (s + 1) * SUB_H)
                     ygf = (
-                        ty * tile_h + s * SUB_H + rq
+                        ty * tile_h + s * SUB_H + pyi
                     ).astype(jnp.float32) + 0.5
-                    fid_s = fid_ref[0, s:s + 1, :]         # [1, px]
-                    fid_flat = fid_s.astype(jnp.float32)
+                    fid_s = fid_ref[rs, :]
+                    fid_flat = fid_s.astype(jnp.float32).reshape(1, px)
                     it_of_row = (
                         chunk_lo
                         + (w * WINDOW + row_i) // GROUPS
@@ -168,19 +148,18 @@ def _bwd_packed_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )                                       # [W, px]
-                    g16 = [g[k:k + 1, :] for k in range(17)]
-                    covered = g[col_one:col_one + 1, :] > 0.5
+                    g3 = g.reshape(width, SUB_H, tile_w)
+                    g16 = [g3[k] for k in range(17)]
+                    covered = g3[col_one] > 0.5            # [8, 128]
 
                     nbrs = [
-                        (nfid_ref[n, 0, s:s + 1, :],
-                         nz_ref[n, 0, s:s + 1, :],
-                         sval_ref[n, 0, s:s + 1, :])
+                        (nfid_ref[n, rs, :], nz_ref[n, rs, :],
+                         sval_ref[n, rs, :])
                         for n in range(4)
                     ]
                     d_geo, d_att = pixel_cotangents_core(
-                        g16, covered, fid_s, zbuf_ref[0, s:s + 1, :],
-                        pix_ref[:, 0, s:s + 1, :],
-                        grad_ref[:, 0, s:s + 1, :],
+                        g16, covered, fid_s, zbuf_ref[rs, :],
+                        pix_ref[:, rs, :], grad_ref[:, rs, :],
                         nbrs, xgf, ygf,
                     )
                     cot_cols = (
@@ -188,12 +167,10 @@ def _bwd_packed_kernel(
                         + [d_geo[GEO_DEN + k] for k in range(3)]
                         + d_att
                     )
-                    # Each column is already [1, px]: concatenating gives
-                    # the [K, px] matmul operand with NO relayout.
-                    cot = jnp.concatenate(cot_cols, axis=0)
-                    cot = jnp.where(covered, cot, 0.0)
+                    cot = jnp.stack(cot_cols, axis=0)       # [K, 8, 128]
+                    cot = jnp.where(covered[None], cot, 0.0)
                     contrib = jax.lax.dot_general(
-                        onehot, cot,
+                        onehot, cot.reshape(k_cols, px),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
@@ -252,14 +229,14 @@ def backward_packed(
     nz4 = jnp.stack([n[1] for n in nbrs])
     sval4 = jnp.stack([n[2] for n in nbrs])
 
-    # Strip-flat layout (matches the forward's bins + lane-major strips).
-    fid_f = to_strip_flat(fid_p, tile_w)
-    zbuf_f = to_strip_flat(zbuf_p, tile_w)
-    pix_f = to_strip_flat(pix_cf, tile_w)
-    grad_f = to_strip_flat(grad_cf, tile_w)
-    nfid_f = to_strip_flat(nfid4, tile_w)
-    nz_f = to_strip_flat(nz4, tile_w)
-    sval_f = to_strip_flat(sval4, tile_w)
+    # Flat-subtile layout (matches the forward's bins).
+    fid_f = flat_subtile_swap(fid_p)
+    zbuf_f = flat_subtile_swap(zbuf_p)
+    pix_f = flat_subtile_swap(pix_cf)
+    grad_f = flat_subtile_swap(grad_cf)
+    nfid_f = flat_subtile_swap(nfid4)
+    nz_f = flat_subtile_swap(nz4)
+    sval_f = flat_subtile_swap(sval4)
 
     table2 = pack_face_table_v2(geo, att)
     width = table2.shape[1]
@@ -282,10 +259,8 @@ def backward_packed(
         tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, total=total,
         budget_chunks=budget_chunks, width=width,
     )
-    strips = tile_h // SUB_H
-    px = SUB_H * tile_w
-    img = lambda c, m: (m[c] % tiles_x, m[c] // tiles_x, 0)
-    imgc = lambda c, m: (0, m[c] % tiles_x, m[c] // tiles_x, 0)
+    img = lambda c, m: (m[c] // tiles_x, m[c] % tiles_x)
+    imgc = lambda c, m: (0, m[c] // tiles_x, m[c] % tiles_x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -293,17 +268,17 @@ def backward_packed(
         in_specs=[
             pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strips, px), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strips, px), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 1, strips, px), imgc,
+            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, 1, strips, px), imgc,
+            pl.BlockSpec((channels, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, strips, px), imgc,
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, strips, px), imgc,
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, 1, strips, px), imgc,
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
