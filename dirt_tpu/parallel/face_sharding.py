@@ -43,11 +43,11 @@ def _make_face_shard_op(config: RasterConfig, axis,
     """custom_vjp: local faces -> composited full image (+ aux maps)."""
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=())
-    def shard_op(fv_local, fa_local):
-        out, _ = _fwd(fv_local, fa_local)
+    def shard_op(fv_local, fa_local, background):
+        out, _ = _fwd(fv_local, fa_local, background)
         return out
 
-    def _fwd(fv_local, fa_local):
+    def _fwd(fv_local, fa_local, background):
         f_local = fv_local.shape[0]
         channels = fa_local.shape[-1]
         offset = jax.lax.axis_index(axis) * f_local
@@ -68,7 +68,11 @@ def _make_face_shard_op(config: RasterConfig, axis,
 
         covered = gmin < _BIG_ID
         pix = jax.lax.psum(jnp.where(mine[..., None], pix_l, 0.0), axis)
-        pix = jnp.where(covered[..., None], pix, 0.0)
+        # Composite over the background INSIDE the op: the boundary
+        # gradient model needs the true image values and the upstream
+        # gradient at BACKGROUND pixels too (silhouette pairs), so the
+        # differentiation boundary must see the full image.
+        pix = jnp.where(covered[..., None], pix, background)
         fid_g = jnp.where(covered, gmin, -1)
         zbuf = jnp.where(covered, zmin, BIG_Z)
         out = (pix, fid_g, zbuf)
@@ -76,9 +80,15 @@ def _make_face_shard_op(config: RasterConfig, axis,
 
     def _bwd(residuals, cotangents):
         fv_local, fa_local, pix, fid_g, zbuf = residuals
-        grad_pixels = cotangents[0]
+        # The caller slices a per-device row slab out of the replicated
+        # composite (so the output spec is honestly sharded); the
+        # cotangent is therefore zero outside this device's slab and one
+        # psum reassembles the full image gradient on every shard —
+        # independent of shard_map's replicated-output transpose rules.
+        grad_pixels = jax.lax.psum(cotangents[0], axis)
         f_local = fv_local.shape[0]
         offset = jax.lax.axis_index(axis) * f_local
+        n = jax.lax.axis_size(axis)
 
         # Own pixels: those my shard's faces won. Other shards' pixels
         # keep the composite data for occlusion-aware boundary pairs but
@@ -92,11 +102,17 @@ def _make_face_shard_op(config: RasterConfig, axis,
             return geo, att
 
         (geo, att), vjp_fn = jax.vjp(planes, fv_local, fa_local)
-        d_geo, d_att, _d_bg = backward_jax(
+        d_geo, d_att, _ = backward_jax(
             geo, att, fid_local, zbuf, pix, grad_pixels
         )
         d_fv, d_fa = vjp_fn((d_geo, d_att))
-        return d_fv, d_fa
+        # Background gradient uses the COMPOSITE coverage (pixels owned
+        # by other shards are covered, even though they carry fid -1 in
+        # this shard's local map). Every shard computes the identical
+        # full-image d_bg; the all_gather transpose in the caller psums
+        # the n copies, so each contributes 1/n.
+        d_bg = jnp.where((fid_g >= 0)[..., None], 0.0, grad_pixels)
+        return d_fv, d_fa, d_bg / n
 
     shard_op.defvjp(_fwd, _bwd)
     return shard_op
@@ -131,10 +147,18 @@ def rasterise_face_sharded(
 
     shard_op = _make_face_shard_op(config, axis, height, width)
 
-    def device_fn(fv_shard, fa_shard, bg):
-        pix, fid_g, zbuf = shard_op(fv_shard[0], fa_shard[0])
-        covered = fid_g >= 0
-        return jnp.where(covered[..., None], pix, bg)
+    n_ax = mesh.shape[axis]
+    slab = height // n_ax
+
+    def device_fn(fv_shard, fa_shard, bg_slab):
+        # The background also enters SHARDED (row slabs) and is
+        # re-assembled with all_gather: primitive transposes (gather <->
+        # psum+slice) make both image and background cotangents exact
+        # without relying on shard_map's replicated-operand conventions.
+        bg = jax.lax.all_gather(bg_slab, axis, axis=0, tiled=True)
+        pix, fid_g, zbuf = shard_op(fv_shard[0], fa_shard[0], bg)
+        i = jax.lax.axis_index(axis)
+        return jax.lax.dynamic_slice_in_dim(pix, i * slab, slab, 0)
 
     verts_screen = screen_from_clip(
         jnp.asarray(vertices, jnp.float32), height, width
@@ -144,11 +168,13 @@ def rasterise_face_sharded(
         n, f_local, 3, channels
     )
 
+    if height % n:
+        raise ValueError(f"height ({height}) must divide by {n}")
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
         check_vma=False,
     )
     return fn(
