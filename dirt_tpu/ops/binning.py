@@ -279,7 +279,8 @@ def packed_grid(height: int, width: int, tile_h: int, tile_w: int):
 
 
 def auto_packed_budget(num_faces: int, height: int, width: int,
-                       tile_h: int, tile_w: int) -> int:
+                       tile_h: int, tile_w: int,
+                       expand_cap: int | None = None) -> int:
     """Default iteration budget (static row storage = 8 * budget).
 
     Iterations ~= jobs / 8 x imbalance; for the dense-mesh regime the
@@ -299,6 +300,12 @@ def auto_packed_budget(num_faces: int, height: int, width: int,
     # not free here: the packed engine streams budget-proportional spread
     # rows, so the margin is modest and overflow-flagged.
     budget = num_faces + nsid // 8 + total * (PACK_ITERS // 2)
+    if expand_cap is not None:
+        # Hard job-count bound: jobs <= F * E, iterations <= jobs (all in
+        # one group) but ~jobs/8 * imbalance in practice; 2x margin over
+        # the balanced estimate plus per-tile padding slack.
+        bound = (num_faces * expand_cap) // GROUPS * 2 + total * PACK_ITERS
+        budget = min(budget, bound)
     # Floor: every tile needs at least one chunk for its init step.
     budget = max(budget, (total + 2) * PACK_ITERS)
     return -(-budget // PACK_ITERS) * PACK_ITERS
@@ -308,7 +315,10 @@ def auto_packed_expand(num_faces: int, nsid: int) -> int:
     """Max subtile jobs per face. Tight for dense meshes (pairs-sort and
     placement-scatter cost scale with F * E); generous for small F."""
     if num_faces > 4096:
-        return 8
+        # At small resolutions (few subtiles) a dense mesh's triangles
+        # are tiny — 2x2 subtile spans cover them and the pair count
+        # (the binning sort/scatter cost) halves.
+        return 4 if nsid < 4096 else 8
     target = max(32, (8 * nsid) // max(num_faces, 1))
     cap = 32
     while cap < target and cap < nsid:

@@ -62,8 +62,32 @@ from dirt_tpu.ops.raster_fwd import (
 WINDOW = 128  # rows per matmul window (16 iterations)
 
 
+def _dot3_onehot(values, onehot_bf16, dims):
+    """f32-faithful values x one-hot matmul in 3 bf16 MXU passes.
+
+    The one-hot side is exactly representable in bf16, so splitting only
+    the VALUE side into three bf16 terms (hi + mid + lo covers the full
+    24-bit significand) gives a faithful f32 product at half the cost of
+    Precision.HIGHEST's 6 passes (Mosaic lacks the 3-pass HIGH mode, and
+    1-pass DEFAULT rounds coefficients to bf16, flipping edge-sign tests
+    in the cotangent core).
+    """
+    hi = values.astype(jnp.bfloat16)
+    r1 = values - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part in (hi, mid, lo):
+        d = jax.lax.dot_general(
+            part, onehot_bf16, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _bwd_packed_kernel(
-    meta_ref, rows_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
+    meta_ref, rows_ref, fidflat_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
     nfid_ref, nz_ref, sval_ref,
     out_ref,
     rows_scratch,
@@ -132,7 +156,10 @@ def _bwd_packed_kernel(
                         ty * tile_h + s * SUB_H + pyi
                     ).astype(jnp.float32) + 0.5
                     fid_s = fid_ref[rs, :]
-                    fid_flat = fid_s.astype(jnp.float32).reshape(1, px)
+                    # Pre-permuted [1, px] float fid row: an in-kernel
+                    # [8,128]->[1,1024] reshape is a sublane->lane
+                    # relayout repeated per (window, strip) pair.
+                    fid_flat = fidflat_ref[0, s:s + 1, :]
                     it_of_row = (
                         chunk_lo
                         + (w * WINDOW + row_i) // GROUPS
@@ -140,13 +167,10 @@ def _bwd_packed_kernel(
                     active = (it_of_row >= lo) & (it_of_row < hi)
                     onehot = (
                         (fidv == fid_flat) & grp_mask & active
-                    ).astype(jnp.float32)                  # [WINDOW, px]
+                    ).astype(jnp.bfloat16)                 # [WINDOW, px]
 
-                    g = jax.lax.dot_general(
-                        rows_w, onehot,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
+                    g = _dot3_onehot(
+                        rows_w, onehot, (((0,), (0,)), ((), ()))
                     )                                       # [W, px]
                     g3 = g.reshape(width, SUB_H, tile_w)
                     g16 = [g3[k] for k in range(17)]
@@ -169,12 +193,10 @@ def _bwd_packed_kernel(
                     )
                     cot = jnp.stack(cot_cols, axis=0)       # [K, 8, 128]
                     cot = jnp.where(covered[None], cot, 0.0)
-                    contrib = jax.lax.dot_general(
-                        onehot, cot.reshape(k_cols, px),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )                                       # [WINDOW, K]
+                    contrib = _dot3_onehot(
+                        cot.reshape(k_cols, px), onehot,
+                        (((1,), (1,)), ((), ())),
+                    ).T                                     # [WINDOW, K]
                     # Accumulate strips of this window in scratch; each
                     # row's face lives in exactly one strip, so sums are
                     # disjoint.
@@ -230,6 +252,14 @@ def backward_packed(
     sval4 = jnp.stack([n[2] for n in nbrs])
 
     # Flat-subtile layout (matches the forward's bins).
+    strips_n = tile_h // SUB_H
+    px_n = SUB_H * tile_w
+    fid_flat = (
+        flat_subtile_swap(fid_p.astype(jnp.float32))
+        .reshape(hp // tile_h, strips_n, SUB_H, tiles_x, tile_w)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(total, strips_n, px_n)
+    )
     fid_f = flat_subtile_swap(fid_p)
     zbuf_f = flat_subtile_swap(zbuf_p)
     pix_f = flat_subtile_swap(pix_cf)
@@ -268,6 +298,8 @@ def backward_packed(
         in_specs=[
             pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, strips_n, px_n), lambda c, m: (m[c], 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((channels, tile_h, tile_w), imgc,
@@ -294,7 +326,8 @@ def backward_packed(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((budget_rows, k_cols), jnp.float32),
         interpret=interpret,
-    )(meta, rows, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f, sval_f)
+    )(meta, rows, fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f,
+      sval_f)
 
     with jax.named_scope("dirt_packed_bwd_reduce"):
         face_rows = jax.ops.segment_sum(

@@ -174,11 +174,11 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
             hp, wp, tile_h, tile_w
         )
         nsid = n_tiles * strips * groups
-        budget = config.budget or binning.auto_packed_budget(
-            num_faces, hp, wp, tile_h, tile_w
-        )
         expand = config.expand_cap or binning.auto_packed_expand(
             num_faces, nsid
+        )
+        budget = config.budget or binning.auto_packed_budget(
+            num_faces, hp, wp, tile_h, tile_w, expand
         )
         with jax.named_scope("dirt_binning_packed"):
             bins = binning.bin_faces_packed(
