@@ -48,6 +48,21 @@ class BinningResult(NamedTuple):
     overflow: jax.Array  # [num_tiles] bool, True where count exceeded cap
 
 
+
+
+def _bbox_cols(bbox):
+    """(xmin, xmax, ymin, ymax) from a 4-tuple or a stacked [F, 4] array.
+
+    Production passes the tuple (column reads on a stacked [F, 4] array
+    scalarize into a column-major relayout); the stacked form stays
+    supported for tests and tooling.
+    """
+    if isinstance(bbox, (tuple, list)):
+        return tuple(jnp.asarray(c, jnp.int32) for c in bbox)
+    bbox = jnp.asarray(bbox, jnp.int32)
+    return bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3]
+
+
 def num_tiles(height: int, width: int, tile_h: int, tile_w: int):
     return (-(-height // tile_h), -(-width // tile_w))
 
@@ -61,15 +76,15 @@ def bin_faces(
         bbox: [F, 4] int32 (xmin, xmax, ymin, ymax) inclusive pixel indices;
             empty boxes have max < min.
     """
-    bbox = jnp.asarray(bbox, jnp.int32)
-    nf = bbox.shape[0]
+    bxmin, bxmax, bymin, bymax = _bbox_cols(bbox)
+    nf = bxmin.shape[0]
     tiles_y, tiles_x = num_tiles(height, width, tile_h, tile_w)
     total = tiles_y * tiles_x
 
-    txmin = bbox[:, 0] // tile_w
-    txmax = bbox[:, 1] // tile_w
-    tymin = bbox[:, 2] // tile_h
-    tymax = bbox[:, 3] // tile_h
+    txmin = bxmin // tile_w
+    txmax = bxmax // tile_w
+    tymin = bymin // tile_h
+    tymax = bymax // tile_h
 
     tile_ids = jnp.arange(total, dtype=jnp.int32)
     tx = tile_ids % tiles_x
@@ -154,18 +169,18 @@ def bin_faces_csr(
         expand_cap: max tiles a single face may overlap (truncated beyond,
             overflow-flagged).
     """
-    bbox = jnp.asarray(bbox, jnp.int32)
-    nf = bbox.shape[0]
+    bxmin, bxmax, bymin, bymax = _bbox_cols(bbox)
+    nf = bxmin.shape[0]
     tiles_y, tiles_x = num_tiles(height, width, tile_h, tile_w)
     total = tiles_y * tiles_x
     cap = -(-cap // CHUNK) * CHUNK
     n_pad = csr_pad_bound(nf, expand_cap, total)
 
-    txmin = bbox[:, 0] // tile_w
-    txmax = bbox[:, 1] // tile_w
-    tymin = bbox[:, 2] // tile_h
-    tymax = bbox[:, 3] // tile_h
-    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
+    txmin = bxmin // tile_w
+    txmax = bxmax // tile_w
+    tymin = bymin // tile_h
+    tymax = bymax // tile_h
+    valid = (bxmax >= bxmin) & (bymax >= bymin)
     span_x = jnp.where(valid, txmax - txmin + 1, 0)
     span_y = jnp.where(valid, tymax - tymin + 1, 0)
     n_e = span_x * span_y
@@ -354,8 +369,8 @@ def bin_faces_packed(
        interval-marks cumsum, so sentinel rows keep iterations
        self-describing).
     """
-    bbox = jnp.asarray(bbox, jnp.int32)
-    nf = bbox.shape[0]
+    bxmin, bxmax, bymin, bymax = _bbox_cols(bbox)
+    nf = bxmin.shape[0]
     tiles_y, tiles_x, strips, groups = packed_grid(
         height, width, tile_h, tile_w
     )
@@ -370,11 +385,11 @@ def bin_faces_packed(
     )
 
     # --- 1. pair expansion --------------------------------------------
-    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
-    gxmin = jnp.clip(bbox[:, 0] // SUB_W, 0, gx_max_all)
-    gxmax = jnp.clip(bbox[:, 1] // SUB_W, 0, gx_max_all)
-    gymin = jnp.clip(bbox[:, 2] // SUB_H, 0, gy_max_all)
-    gymax = jnp.clip(bbox[:, 3] // SUB_H, 0, gy_max_all)
+    valid = (bxmax >= bxmin) & (bymax >= bymin)
+    gxmin = jnp.clip(bxmin // SUB_W, 0, gx_max_all)
+    gxmax = jnp.clip(bxmax // SUB_W, 0, gx_max_all)
+    gymin = jnp.clip(bymin // SUB_H, 0, gy_max_all)
+    gymax = jnp.clip(bymax // SUB_H, 0, gy_max_all)
     span_x = jnp.where(valid, gxmax - gxmin + 1, 0)
     span_y = jnp.where(valid, gymax - gymin + 1, 0)
     n_jobs = span_x * span_y

@@ -87,8 +87,7 @@ def _dot3_onehot(values, onehot_bf16, dims):
 
 
 def _bwd_packed_kernel(
-    meta_ref, rows_ref, fidflat_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
-    nfid_ref, nz_ref, sval_ref,
+    meta_ref, rows_ref, fidflat_ref, ints_ref, flt_ref,
     out_ref,
     rows_scratch,
     *, channels: int, k_cols: int, col_one: int, tile_h: int,
@@ -155,7 +154,7 @@ def _bwd_packed_kernel(
                     ygf = (
                         ty * tile_h + s * SUB_H + pyi
                     ).astype(jnp.float32) + 0.5
-                    fid_s = fid_ref[rs, :]
+                    fid_s = ints_ref[0, rs, :]
                     # Pre-permuted [1, px] float fid row: an in-kernel
                     # [8,128]->[1,1024] reshape is a sublane->lane
                     # relayout repeated per (window, strip) pair.
@@ -176,14 +175,18 @@ def _bwd_packed_kernel(
                     g16 = [g3[k] for k in range(17)]
                     covered = g3[col_one] > 0.5            # [8, 128]
 
+                    # Stacked field layout: ints = [fid | nfid(4)];
+                    # flt = [zbuf | pix(C) | grad(C) | nz(4) | sval(4)].
                     nbrs = [
-                        (nfid_ref[n, rs, :], nz_ref[n, rs, :],
-                         sval_ref[n, rs, :])
+                        (ints_ref[1 + n, rs, :],
+                         flt_ref[1 + 2 * channels + n, rs, :],
+                         flt_ref[5 + 2 * channels + n, rs, :])
                         for n in range(4)
                     ]
                     d_geo, d_att = pixel_cotangents_core(
-                        g16, covered, fid_s, zbuf_ref[rs, :],
-                        pix_ref[:, rs, :], grad_ref[:, rs, :],
+                        g16, covered, fid_s, flt_ref[0, rs, :],
+                        flt_ref[1:1 + channels, rs, :],
+                        flt_ref[1 + channels:1 + 2 * channels, rs, :],
                         nbrs, xgf, ygf,
                     )
                     cot_cols = (
@@ -251,7 +254,10 @@ def backward_packed(
     nz4 = jnp.stack([n[1] for n in nbrs])
     sval4 = jnp.stack([n[2] for n in nbrs])
 
-    # Flat-subtile layout (matches the forward's bins).
+    # Flat-subtile layout (matches the forward's bins). All float fields
+    # ride ONE stacked permute and all int fields another — the 6D
+    # swapaxes lowers at ~60 GB/s, so per-array invocations dominate the
+    # backward's XLA glue if not batched.
     strips_n = tile_h // SUB_H
     px_n = SUB_H * tile_w
     fid_flat = (
@@ -260,13 +266,14 @@ def backward_packed(
         .transpose(0, 3, 1, 2, 4)
         .reshape(total, strips_n, px_n)
     )
-    fid_f = flat_subtile_swap(fid_p)
-    zbuf_f = flat_subtile_swap(zbuf_p)
-    pix_f = flat_subtile_swap(pix_cf)
-    grad_f = flat_subtile_swap(grad_cf)
-    nfid_f = flat_subtile_swap(nfid4)
-    nz_f = flat_subtile_swap(nz4)
-    sval_f = flat_subtile_swap(sval4)
+    ints_f = flat_subtile_swap(
+        jnp.concatenate([fid_p[None], nfid4], axis=0)
+    )
+    flt_f = flat_subtile_swap(
+        jnp.concatenate(
+            [zbuf_p[None], pix_cf, grad_cf, nz4, sval4], axis=0
+        )
+    )
 
     table2 = pack_face_table_v2(geo, att)
     width = table2.shape[1]
@@ -300,17 +307,9 @@ def backward_packed(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, strips_n, px_n), lambda c, m: (m[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, tile_h, tile_w), imgc,
+            pl.BlockSpec((5, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((channels, tile_h, tile_w), imgc,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_h, tile_w), imgc,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_h, tile_w), imgc,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_h, tile_w), imgc,
+            pl.BlockSpec((9 + 2 * channels, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -326,8 +325,7 @@ def backward_packed(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((budget_rows, k_cols), jnp.float32),
         interpret=interpret,
-    )(meta, rows, fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f,
-      sval_f)
+    )(meta, rows, fid_flat, ints_f, flt_f)
 
     with jax.named_scope("dirt_packed_bwd_reduce"):
         face_rows = jax.ops.segment_sum(

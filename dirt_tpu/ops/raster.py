@@ -39,6 +39,7 @@ from dirt_tpu.ops.raster_fwd import (
     raster_forward_csr,
 )
 from dirt_tpu.ops.triangle_setup import (
+    face_bbox_cols,
     face_bboxes,
     setup_planes,
 )
@@ -158,7 +159,7 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
 
     with jax.named_scope("dirt_setup"):
         geo, att, valid = setup_planes(face_verts_screen, face_attrs)
-        bbox = face_bboxes(face_verts_screen, valid, height, width)
+        bbox = face_bbox_cols(face_verts_screen, valid, height, width)
 
     hp, wp = _pad_to(height, tile_h), _pad_to(width, tile_w)
     bg_chw = jnp.transpose(background, (2, 0, 1))

@@ -41,6 +41,8 @@ from dirt_tpu.ops.triangle_setup import (
     GEO_Z,
 )
 
+GEO_USED_END = GEO_DEN + 3  # == triangle_setup.GEO_USED
+
 A_EPS = 1e-12
 
 
@@ -234,21 +236,43 @@ def anchor_cotangents(geo, att, d_geo, d_att):
     Every plane depends on the anchor only through
     ``c_global = c0 - a*ax - b*ay``, so d_ax = -sum_p a_p * d_c0_p (resp. b
     for ay) over all planes p of the face.
+
+    Implemented with lane ROLLS + column masks: per-column strided slices
+    of [F, 24]/[F, 3C] arrays make XLA materialize a scalarized
+    column-major relayout (measured 0.5 ms at 10k faces).
     """
-    num_faces = geo.shape[0]
     channels3 = att.shape[1]
     plane_a_cols = [GEO_EDGE, GEO_EDGE + 3, GEO_EDGE + 6, GEO_Z, GEO_DEN]
-    d_ax = jnp.zeros((num_faces,), jnp.float32)
-    d_ay = jnp.zeros((num_faces,), jnp.float32)
+    mask_a = jnp.zeros((GEO_WIDTH,), jnp.float32)
+    mask_b = jnp.zeros((GEO_WIDTH,), jnp.float32)
     for a_col in plane_a_cols:
-        d_ax = d_ax - geo[:, a_col] * d_geo[:, a_col + 2]
-        d_ay = d_ay - geo[:, a_col + 1] * d_geo[:, a_col + 2]
+        mask_a = mask_a.at[a_col].set(1.0)
+        mask_b = mask_b.at[a_col + 1].set(1.0)
+    # roll(-2) puts each plane's d_c0 at its a column; roll(-1) at b.
+    dg_m2 = jnp.roll(d_geo, -2, axis=1)
+    dg_m1 = jnp.roll(d_geo, -1, axis=1)
+    d_ax = -jnp.sum(geo * dg_m2 * mask_a[None, :], axis=1)
+    d_ay = -jnp.sum(geo * dg_m1 * mask_b[None, :], axis=1)
+
+    amask_a = jnp.zeros((channels3,), jnp.float32)
+    amask_b = jnp.zeros((channels3,), jnp.float32)
     for k in range(0, channels3, 3):
-        d_ax = d_ax - att[:, k] * d_att[:, k + 2]
-        d_ay = d_ay - att[:, k + 1] * d_att[:, k + 2]
-    d_geo = d_geo.at[:, GEO_AX].set(d_ax)
-    d_geo = d_geo.at[:, GEO_AY].set(d_ay)
-    return d_geo
+        amask_a = amask_a.at[k].set(1.0)
+        amask_b = amask_b.at[k + 1].set(1.0)
+    da_m2 = jnp.roll(d_att, -2, axis=1)
+    da_m1 = jnp.roll(d_att, -1, axis=1)
+    d_ax = d_ax - jnp.sum(att * da_m2 * amask_a[None, :], axis=1)
+    d_ay = d_ay - jnp.sum(att * da_m1 * amask_b[None, :], axis=1)
+
+    keep = jnp.ones((GEO_WIDTH,), jnp.float32).at[GEO_AX].set(0.0)
+    keep = keep.at[GEO_AY].set(0.0)
+    e_ax = jnp.zeros((GEO_WIDTH,), jnp.float32).at[GEO_AX].set(1.0)
+    e_ay = jnp.zeros((GEO_WIDTH,), jnp.float32).at[GEO_AY].set(1.0)
+    return (
+        d_geo * keep[None, :]
+        + d_ax[:, None] * e_ax[None, :]
+        + d_ay[:, None] * e_ay[None, :]
+    )
 
 
 def pack_cotangent_tiles(d_geo_cols, d_att_cols, covered, fid,
@@ -280,9 +304,12 @@ def pack_cotangent_tiles(d_geo_cols, d_att_cols, covered, fid,
 def assemble_face_gradients(geo, att, rows, channels: int):
     """Unpack scattered per-face rows into (d_geo, d_att) with anchors."""
     num_faces = geo.shape[0]
-    d_geo = jnp.zeros((num_faces, GEO_WIDTH), jnp.float32)
-    d_geo = d_geo.at[:, GEO_EDGE:GEO_EDGE + 9].set(rows[:, 0:9])
-    d_geo = d_geo.at[:, GEO_DEN:GEO_DEN + 3].set(rows[:, 9:12])
+    zeros2 = jnp.zeros((num_faces, GEO_EDGE), jnp.float32)
+    zeros_z = jnp.zeros((num_faces, GEO_DEN - GEO_Z), jnp.float32)
+    zeros_pad = jnp.zeros((num_faces, GEO_WIDTH - GEO_USED_END), jnp.float32)
+    d_geo = jnp.concatenate(
+        [zeros2, rows[:, 0:9], zeros_z, rows[:, 9:12], zeros_pad], axis=1
+    )
     d_att = rows[:, 12:12 + 3 * channels]
     return anchor_cotangents(geo, att, d_geo, d_att), d_att
 

@@ -163,12 +163,16 @@ def setup_planes(face_verts_screen, face_attrs):
     return geo, att, valid
 
 
-def face_bboxes(face_verts_screen, valid, height: int, width: int):
+def face_bbox_cols(face_verts_screen, valid, height: int, width: int):
     """Conservative pixel-index bounding boxes for binning (non-diff).
 
-    Returns [F, 4] int32 (xmin, xmax, ymin, ymax) inclusive pixel indices;
-    empty boxes are encoded with max < min. Faces entirely outside the
-    z in [-1, 1] range are also culled here.
+    Returns FOUR separate [F] int32 arrays (xmin, xmax, ymin, ymax),
+    inclusive pixel indices; empty boxes are encoded with max < min.
+    Faces entirely outside z in [-1, 1] are also culled here. Kept as
+    separate columns on purpose: a stacked [F, 4] array forces every
+    consumer's ``bbox[:, k]`` through a strided column read that XLA
+    materializes as a SCALARIZED column-major relayout (measured 0.94 ms
+    at 10k faces — more than the raster kernel).
     """
     fv = jnp.asarray(face_verts_screen, jnp.float32)
     x, y, z = fv[..., 0], fv[..., 1], fv[..., 2]
@@ -184,11 +188,15 @@ def face_bboxes(face_verts_screen, valid, height: int, width: int):
     )
     keep = valid & onscreen
 
-    xmin = jnp.clip(xmin, 0, width - 1)
-    xmax = jnp.clip(xmax, 0, width - 1)
-    ymin = jnp.clip(ymin, 0, height - 1)
-    ymax = jnp.clip(ymax, 0, height - 1)
+    xmin = jnp.where(keep, jnp.clip(xmin, 0, width - 1), 0)
+    xmax = jnp.where(keep, jnp.clip(xmax, 0, width - 1), -1)
+    ymin = jnp.where(keep, jnp.clip(ymin, 0, height - 1), 0)
+    ymax = jnp.where(keep, jnp.clip(ymax, 0, height - 1), -1)
+    return xmin, xmax, ymin, ymax
 
-    empty = jnp.array([0, -1, 0, -1], jnp.int32)
-    bbox = jnp.stack([xmin, xmax, ymin, ymax], axis=-1)
-    return jnp.where(keep[:, None], bbox, empty[None, :])
+
+def face_bboxes(face_verts_screen, valid, height: int, width: int):
+    """[F, 4] stacked variant of :func:`face_bbox_cols` (tests/tooling)."""
+    return jnp.stack(
+        face_bbox_cols(face_verts_screen, valid, height, width), axis=-1
+    )
