@@ -56,6 +56,7 @@ from dirt_tpu.ops.raster_fwd import (
     COL_ATT,
     COL_ID,
     flat_subtile_swap,
+    flat_subtile_swap_pallas,
     pack_face_table_v2,
 )
 
@@ -87,7 +88,8 @@ def _dot3_onehot(values, onehot_bf16, dims):
 
 
 def _bwd_packed_kernel(
-    meta_ref, rows_ref, fidflat_ref, ints_ref, flt_ref,
+    meta_ref, rows_ref, fidflat_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
+    nfid_ref, nz_ref, sval_ref,
     out_ref,
     rows_scratch,
     *, channels: int, k_cols: int, col_one: int, tile_h: int,
@@ -154,7 +156,7 @@ def _bwd_packed_kernel(
                     ygf = (
                         ty * tile_h + s * SUB_H + pyi
                     ).astype(jnp.float32) + 0.5
-                    fid_s = ints_ref[0, rs, :]
+                    fid_s = fid_ref[rs, :]
                     # Pre-permuted [1, px] float fid row: an in-kernel
                     # [8,128]->[1,1024] reshape is a sublane->lane
                     # relayout repeated per (window, strip) pair.
@@ -175,18 +177,14 @@ def _bwd_packed_kernel(
                     g16 = [g3[k] for k in range(17)]
                     covered = g3[col_one] > 0.5            # [8, 128]
 
-                    # Stacked field layout: ints = [fid | nfid(4)];
-                    # flt = [zbuf | pix(C) | grad(C) | nz(4) | sval(4)].
                     nbrs = [
-                        (ints_ref[1 + n, rs, :],
-                         flt_ref[1 + 2 * channels + n, rs, :],
-                         flt_ref[5 + 2 * channels + n, rs, :])
+                        (nfid_ref[n, rs, :], nz_ref[n, rs, :],
+                         sval_ref[n, rs, :])
                         for n in range(4)
                     ]
                     d_geo, d_att = pixel_cotangents_core(
-                        g16, covered, fid_s, flt_ref[0, rs, :],
-                        flt_ref[1:1 + channels, rs, :],
-                        flt_ref[1 + channels:1 + 2 * channels, rs, :],
+                        g16, covered, fid_s, zbuf_ref[rs, :],
+                        pix_ref[:, rs, :], grad_ref[:, rs, :],
                         nbrs, xgf, ygf,
                     )
                     cot_cols = (
@@ -260,19 +258,17 @@ def backward_packed(
     # backward's XLA glue if not batched.
     strips_n = tile_h // SUB_H
     px_n = SUB_H * tile_w
+
+    fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f, sval_f = (
+        flat_subtile_swap_pallas(
+            [fid_p, zbuf_p, pix_cf, grad_cf, nfid4, nz4, sval4]
+        )
+    )
     fid_flat = (
-        flat_subtile_swap(fid_p.astype(jnp.float32))
+        fid_f.astype(jnp.float32)
         .reshape(hp // tile_h, strips_n, SUB_H, tiles_x, tile_w)
         .transpose(0, 3, 1, 2, 4)
         .reshape(total, strips_n, px_n)
-    )
-    ints_f = flat_subtile_swap(
-        jnp.concatenate([fid_p[None], nfid4], axis=0)
-    )
-    flt_f = flat_subtile_swap(
-        jnp.concatenate(
-            [zbuf_p[None], pix_cf, grad_cf, nz4, sval4], axis=0
-        )
     )
 
     table2 = pack_face_table_v2(geo, att)
@@ -307,9 +303,17 @@ def backward_packed(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, strips_n, px_n), lambda c, m: (m[c], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, tile_h, tile_w), imgc,
+            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
+            pl.BlockSpec((channels, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 + 2 * channels, tile_h, tile_w), imgc,
+            pl.BlockSpec((channels, tile_h, tile_w), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -325,7 +329,8 @@ def backward_packed(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((budget_rows, k_cols), jnp.float32),
         interpret=interpret,
-    )(meta, rows, fid_flat, ints_f, flt_f)
+    )(meta, rows, fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f,
+      sval_f)
 
     with jax.named_scope("dirt_packed_bwd_reduce"):
         face_rows = jax.ops.segment_sum(

@@ -103,13 +103,17 @@ def use_streaming(config: RasterConfig, num_faces: int) -> bool:
 
 
 def resolve_engine(config: RasterConfig, num_faces: int) -> str:
-    """Which raster path runs for this (config, face count)."""
+    """Which raster path runs for this (config, face count).
+
+    ``streaming=True`` still forces the v1 csr path; ``streaming=False``
+    only rules csr out (the packed engine supersedes the old dense-vs-csr
+    split — the clip wrapper pins ``streaming`` from the pre-clip face
+    count and must not disable packed).
+    """
     if config.engine != "auto":
         return config.engine
     if config.streaming is True:
         return "csr"
-    if config.streaming is False:
-        return "dense"
     if num_faces >= PACKED_MIN_FACES:
         return "packed"
     return "dense"

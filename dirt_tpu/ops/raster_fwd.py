@@ -545,7 +545,7 @@ def raster_forward_packed(
 
     with jax.named_scope("dirt_packed_gather"):
         rows = table2[bins.entries // 8]                   # [rows, W]
-    bg_flat = flat_subtile_swap(background_chw)
+    (bg_flat,) = flat_subtile_swap_pallas([background_chw])
     meta = jnp.concatenate(
         [bins.chunk_tile, bins.start_block, bins.n_iters,
          bins.iter_off, bins.strip_iters]
@@ -588,8 +588,83 @@ def raster_forward_packed(
         ),
         interpret=interpret,
     )(meta, rows, bg_flat)
-    return (
-        flat_subtile_swap(pix_f),
-        flat_subtile_swap(fid_f),
-        flat_subtile_swap(z_f),
-    )
+    return tuple(flat_subtile_swap_pallas([pix_f, fid_f, z_f]))
+
+
+def _butterfly_swap_block(v, lead: int):
+    """Swap (row, lane-group) within each 8x(8x16) strip of a block.
+
+    Three butterfly stages (bit i of the row index exchanges with bit i
+    of the 16-lane-group index where they differ), built from
+    ``pltpu.roll`` + selects: Mosaic rejects the natural reshape/transpose
+    and XLA's 6D-transpose lowering of the same permutation runs at
+    ~40 GB/s (measured 1.6 ms for 60 MB vs 0.38 ms for this kernel).
+    """
+    shape = v.shape
+    rows_ax, lane_ax = len(shape) - 2, len(shape) - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, rows_ax) % SUB_H
+    grp = jax.lax.broadcasted_iota(jnp.int32, shape, lane_ax) // SUB_W
+    n_rows = shape[rows_ax]
+    for i in range(3):
+        bit = 1 << i
+        rb = (row // bit) % 2
+        kb = (grp // bit) % 2
+        need = rb != kb
+        down = pltpu.roll(
+            pltpu.roll(v, n_rows - bit, rows_ax), SUB_W * bit, lane_ax
+        )
+        up = pltpu.roll(
+            pltpu.roll(v, bit, rows_ax), 128 - SUB_W * bit, lane_ax
+        )
+        v = jnp.where(need & (rb == 1), up, jnp.where(need, down, v))
+    return v
+
+
+def flat_subtile_swap_pallas(arrays, interpret: bool | None = None):
+    """Pallas implementation of :func:`flat_subtile_swap` for many arrays.
+
+    One grid pass converts every array ([Hp, Wp] or [K, Hp, Wp], any
+    mix of f32/int32) between image and flat-subtile layout (the
+    permutation is involutive). Arrays are padded to 64-row multiples
+    internally; pass Hp % 8 == 0, Wp % 128 == 0.
+    """
+    if interpret is None:
+        interpret = cfg.use_interpret()
+    arrays = [jnp.asarray(a) for a in arrays]
+    hp, wp = arrays[0].shape[-2:]
+    hp64 = -(-hp // 64) * 64
+    tiles_x = wp // 128
+    grid = ((hp64 // 64) * tiles_x,)
+
+    ins, specs, outs = [], [], []
+    for a in arrays:
+        a3 = a[None] if a.ndim == 2 else a
+        lead = a3.shape[0]
+        if hp64 != hp:
+            a3 = jnp.pad(a3, ((0, 0), (0, hp64 - hp), (0, 0)))
+        ins.append(a3)
+        specs.append(pl.BlockSpec(
+            (lead, 64, 128),
+            lambda c, tx=tiles_x: (0, c // tx, c % tx),
+            memory_space=pltpu.VMEM,
+        ))
+        outs.append(jax.ShapeDtypeStruct(a3.shape, a3.dtype))
+
+    def kernel(*refs):
+        n = len(arrays)
+        for x_ref, o_ref in zip(refs[:n], refs[n:]):
+            o_ref[:] = _butterfly_swap_block(x_ref[:], x_ref.shape[0])
+
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs,
+        out_specs=tuple(specs),
+        out_shape=tuple(outs),
+        interpret=interpret,
+    )(*ins)
+    out = []
+    for a, r in zip(arrays, res):
+        r = r[:, :hp, :]
+        out.append(r[0] if a.ndim == 2 else r)
+    return out
