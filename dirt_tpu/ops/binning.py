@@ -50,14 +50,19 @@ class BinningResult(NamedTuple):
 
 
 
-def _small_cumsum(x, axis=0):
-    """Prefix sum for SMALL arrays via log-depth associative_scan.
+def _scan_sum(x, axis=0):
+    """Prefix sum via log-depth associative_scan.
 
-    XLA lowers jnp.cumsum on short arrays to a scalarized reduce-window
-    loop (measured 0.93 ms for 703 elements on v5e); associative_scan
-    emits ~log2(n) shifted vector adds instead.
+    XLA lowers jnp.cumsum/cummax to a reduce-window pass that costs
+    ~0.9 ms at 90k elements on v5e (and scalarizes outright on short
+    arrays); associative_scan emits ~log2(n) shifted vector adds.
     """
     return jax.lax.associative_scan(jnp.add, x, axis=axis)
+
+
+def _scan_max(x, axis=0):
+    """Prefix max via log-depth associative_scan (see _scan_sum)."""
+    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
 
 
 def _bbox_cols(bbox):
@@ -444,13 +449,13 @@ def bin_faces_packed(
 
     # --- 4. grid prefix math ------------------------------------------
     n_iter = jnp.max(counts, axis=2)                        # [T, S]
-    iter_off = _small_cumsum(n_iter, axis=1) - n_iter       # exclusive
+    iter_off = _scan_sum(n_iter, axis=1) - n_iter       # exclusive
     tile_iters = jnp.sum(n_iter, axis=1)                    # [T]
     # Every tile owns >= 1 chunk (its init step), even when empty; the
     # cumulative layout must count those forced chunks or consecutive
     # empty tiles would collide on one chunk and lose their init.
     raw_chunks = jnp.maximum(-(-tile_iters // PACK_ITERS), 1)
-    cum_excl = _small_cumsum(raw_chunks) - raw_chunks
+    cum_excl = _scan_sum(raw_chunks) - raw_chunks
     t_idx = jnp.arange(total, dtype=jnp.int32)
     # Water-fill: reserve one chunk per remaining tile so every tile owns
     # at least one chunk even under budget overflow.
@@ -511,7 +516,7 @@ def bin_faces_packed(
     strip_starts = jnp.clip(rowstart[:, :, 0].reshape(-1), 0,
                             budget_rows - 1)
     marks = jnp.zeros((budget_rows,), jnp.int32).at[strip_starts].add(1)
-    s_row = (_small_cumsum(marks) - 1) % strips
+    s_row = (jnp.cumsum(marks) - 1) % strips
     default = (nf * 8 + s_row).astype(jnp.int32)
 
     value = face_s * 8 + (sid_s // groups) % strips
@@ -526,7 +531,7 @@ def bin_faces_packed(
         jnp.clip(start_block, 0, budget_chunks - 1)
     ].add(1)
     chunk_tile = jnp.clip(
-        _small_cumsum(cmarks) - 1, 0, total - 1
+        _scan_sum(cmarks) - 1, 0, total - 1
     ).astype(jnp.int32)
 
     overflow = (
