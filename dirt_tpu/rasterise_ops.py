@@ -57,6 +57,36 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
             config = config._replace(
                 streaming=num_faces > STREAMING_FACES
             )
+        if config.budget is None:
+            # Half the clipped face array is degenerate padding (only
+            # faces actually crossing the near plane grow a second
+            # sub-triangle); sizing the packed iteration budget from the
+            # doubled array would double the row gather/stream costs.
+            from dirt_tpu.ops import binning
+            from dirt_tpu.ops.raster import (
+                PACKED_MIN_FACES,
+                resolve_engine,
+            )
+
+            ccfg = config.concrete(height)
+            if resolve_engine(ccfg, 2 * num_faces) == "packed":
+                hp = -(-height // ccfg.tile_h) * ccfg.tile_h
+                wp = -(-width // ccfg.tile_w) * ccfg.tile_w
+                _, _, strips, groups = binning.packed_grid(
+                    hp, wp, ccfg.tile_h, ccfg.tile_w
+                )
+                nsid = (hp // ccfg.tile_h) * (wp // ccfg.tile_w) * (
+                    strips * groups
+                )
+                expand = ccfg.expand_cap or binning.auto_packed_expand(
+                    2 * num_faces, nsid
+                )
+                config = config._replace(
+                    budget=binning.auto_packed_budget(
+                        num_faces + num_faces // 4, hp, wp,
+                        ccfg.tile_h, ccfg.tile_w, expand,
+                    )
+                )
         return face_verts, fa, config, num_faces
     verts_screen = screen_from_clip(vertices, height, width)
     return verts_screen[faces], vertex_colors[faces], config, num_faces
