@@ -91,9 +91,13 @@ class RasterConfig(NamedTuple):
 # lane-padded) stops fitting comfortably next to the image blocks.
 STREAMING_FACES = 16384
 
-# Below this, scenes are low-poly (big faces): the dense whole-tile engine
-# wins and the packed budget heuristics don't apply.
-PACKED_MIN_FACES = 1024
+# Below this, the dense whole-tile engine runs: it handles faces of ANY
+# screen size with no caps (a [T, F] overlap matrix is cheap at these
+# counts), whereas the packed engine's expand/budget heuristics assume
+# dense-mesh statistics (many small triangles). A 700-face scene of
+# near-fullscreen triangles overflowed the packed auto caps in
+# verification — flagged, but the dense engine simply renders it.
+PACKED_MIN_FACES = 4096
 
 
 def use_streaming(config: RasterConfig, num_faces: int) -> bool:
