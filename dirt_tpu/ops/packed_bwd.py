@@ -220,12 +220,22 @@ def _bwd_packed_kernel(
 def backward_packed(
     geo, att, fid, zbuf, pixels, grad_pixels, bins, num_faces: int,
     tile_h: int, tile_w: int, interpret: bool | None = None,
+    nbrs=None,
 ):
     """Gradients w.r.t. plane coefficients over packed bins.
 
     Same semantics as ``raster_bwd.backward_fused`` (interior exact +
     occlusion-aware boundary; see module docstring); returns
     (d_geo [F, 24], d_att [F, 3C], d_background [H, W, C]).
+
+    ``nbrs`` optionally overrides the boundary-pair neighbor maps with
+    precomputed ``(nfid4, nz4, sval4)`` stacks of shape [4, Hp, Wp] (in
+    :func:`raster_bwd.boundary_cases` order, at the tile-padded image
+    shape). The sharded slab path uses this to splice halo rows fetched
+    from mesh neighbors into the pair graph, so cross-slab boundary pairs
+    are seen by the device owning the front pixel
+    (``parallel.sharding``); the geometry stays in slab-local
+    coordinates — no shifted re-setup is needed.
     """
     geo = jnp.asarray(geo, jnp.float32)
     att = jnp.asarray(att, jnp.float32)
@@ -247,10 +257,14 @@ def backward_packed(
     grad_cf = jnp.pad(
         jnp.transpose(grad_pixels, (2, 0, 1)), ((0, 0),) + pad2
     )
-    nbrs = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
-    nfid4 = jnp.stack([n[0] for n in nbrs])
-    nz4 = jnp.stack([n[1] for n in nbrs])
-    sval4 = jnp.stack([n[2] for n in nbrs])
+    if nbrs is None:
+        nbr_list = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
+        nfid4 = jnp.stack([n[0] for n in nbr_list])
+        nz4 = jnp.stack([n[1] for n in nbr_list])
+        sval4 = jnp.stack([n[2] for n in nbr_list])
+    else:
+        nfid4, nz4, sval4 = nbrs
+        nfid4 = jnp.asarray(nfid4, jnp.int32)
 
     # Flat-subtile layout (matches the forward's bins). All float fields
     # ride ONE stacked permute and all int fields another — the 6D

@@ -73,6 +73,13 @@ class RasterConfig(NamedTuple):
     expand_cap: int | None = None
     engine: str = "auto"
     budget: int | None = None
+    # Near-plane clipping slot budget: max SECONDARY sub-triangles kept by
+    # the clip compaction (``ops.clipping.compact_clipped``). None = auto
+    # (max(F // 8, 64)); only faces actually crossing the near plane need
+    # a slot, so the raster array is F + clip_cap instead of 2F. Overflow
+    # (more crossing faces than slots) is reported via the API's overflow
+    # flag; ``suggest_raster_config`` measures the exact requirement.
+    clip_cap: int | None = None
 
     def concrete(self, height: int) -> "RasterConfig":
         """Resolve auto fields for a given image height.

@@ -31,14 +31,13 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from dirt_tpu.ops.raster import (
-    STREAMING_FACES,
     RasterConfig,
     _forward_impl,
     make_scatter_fn,
     resolve_engine,
     use_streaming,
 )
-from dirt_tpu.ops.raster_bwd import backward_scatter_halo
+from dirt_tpu.ops.raster_bwd import backward_scatter_halo, neighbor_maps
 from dirt_tpu.ops.raster_fwd import BIG_Z
 from dirt_tpu.ops.triangle_setup import screen_from_clip, setup_planes
 
@@ -83,6 +82,44 @@ def _exchange_halo_rows(fid, zbuf, pixels, grad_pixels, axis: str):
     )
 
 
+def _halo_neighbor_stacks(
+    fid, zbuf, pixels, grad_pixels, axis, hp: int, wp: int
+):
+    """Boundary-pair neighbor stacks [4, hp, wp] with halo rows spliced in.
+
+    Computes :func:`dirt_tpu.ops.raster_bwd.neighbor_maps` on arrays
+    extended by one mesh-neighbor row on each side, then slices back to
+    this slab's own rows: the vertical neighbor data of the slab's first
+    and last rows comes from the adjacent devices, so every cross-slab
+    boundary pair is evaluated (exactly once) by the device owning the
+    pair's front pixel. Width is padded to the tile multiple ``wp`` with
+    excluded-pair sentinels, matching ``backward_packed``'s padding.
+    """
+    fid_e, zbuf_e, pixels_e, grad_e = _exchange_halo_rows(
+        fid, zbuf, pixels, grad_pixels, axis
+    )
+    width = fid_e.shape[1]
+    padw = ((0, 0), (0, wp - width))
+    fid_ep = jnp.pad(fid_e, padw, constant_values=-2)
+    zbuf_ep = jnp.pad(zbuf_e, padw, constant_values=BIG_Z)
+    pix_cf = jnp.pad(
+        jnp.transpose(pixels_e, (2, 0, 1)), ((0, 0),) + padw
+    )
+    grad_cf = jnp.pad(
+        jnp.transpose(grad_e, (2, 0, 1)), ((0, 0),) + padw
+    )
+    nbr = neighbor_maps(fid_ep, zbuf_ep, pix_cf, grad_cf)
+    padh = ((0, 0), (0, hp - fid.shape[0]), (0, 0))
+    nfid4 = jnp.pad(
+        jnp.stack([n[0][1:-1] for n in nbr]), padh, constant_values=-2
+    )
+    nz4 = jnp.pad(
+        jnp.stack([n[1][1:-1] for n in nbr]), padh, constant_values=BIG_Z
+    )
+    sval4 = jnp.pad(jnp.stack([n[2][1:-1] for n in nbr]), padh)
+    return nfid4, nz4, sval4
+
+
 def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
     """custom_vjp slab rasterizer with halo-exchanged boundary gradients.
 
@@ -103,7 +140,10 @@ def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
         pixels, fid, zbuf, bins = _forward_impl(
             face_verts_local, face_attrs, bg_slab, config
         )
-        if use_streaming(config, face_verts_local.shape[0]):
+        engine = resolve_engine(config, face_verts_local.shape[0])
+        if engine == "packed":
+            bin_res = bins                 # PackedBins, reused by backward
+        elif use_streaming(config, face_verts_local.shape[0]):
             bin_res = (bins.entry_face, bins.start_block, bins.counts)
         else:
             bin_res = (bins.bins, bins.counts)
@@ -122,6 +162,37 @@ def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
         row_in_image = (row0 + rows) < total_height
         fid = jnp.where(row_in_image[:, None], fid, -2)
         zbuf = jnp.where(row_in_image[:, None], zbuf, BIG_Z)
+
+        if resolve_engine(config, face_verts_local.shape[0]) == "packed":
+            # Packed engine: the fused backward consumes the forward's
+            # PackedBins directly; only the boundary-pair neighbor maps
+            # need the halo splice, and the geometry stays slab-local
+            # (no shifted re-setup).
+            from dirt_tpu.ops.packed_bwd import backward_packed
+
+            hp = -(-slab_h // config.tile_h) * config.tile_h
+            wp = -(-fid.shape[1] // config.tile_w) * config.tile_w
+            nbrs4 = _halo_neighbor_stacks(
+                fid, zbuf, pixels, grad_pixels, axis, hp, wp
+            )
+
+            def planes(fv, fa):
+                geo2, att2, _ = setup_planes(fv, fa)
+                return geo2, att2
+
+            (geo, att), vjp_fn = jax.vjp(
+                planes, face_verts_local, face_attrs
+            )
+            d_geo, d_att, d_bg = backward_packed(
+                geo, att, fid, zbuf, pixels, grad_pixels, bin_res,
+                face_verts_local.shape[0], config.tile_h, config.tile_w,
+                nbrs=nbrs4,
+            )
+            d_fv, d_fa = vjp_fn((d_geo, d_att))
+            return (
+                d_fv, d_fa, d_bg,
+                jnp.zeros_like(row0, dtype=jnp.float32),
+            )
 
         fid_e, zbuf_e, pixels_e, grad_e = _exchange_halo_rows(
             fid, zbuf, pixels, grad_pixels, axis
@@ -177,12 +248,6 @@ def slab_render(
     """
     config = (config or RasterConfig()).concrete(bg_slab.shape[0])
     faces = jnp.asarray(faces, jnp.int32)
-    if resolve_engine(config, faces.shape[0]) == "packed":
-        # The slab backward consumes v1 bin layouts (make_scatter_fn);
-        # pin a v1 engine until the packed slab path lands.
-        config = config._replace(
-            engine="csr" if faces.shape[0] > STREAMING_FACES else "dense"
-        )
     slab_h = bg_slab.shape[0]
     slab_op = _make_slab_op(config, axis, height)
     idx = jax.lax.axis_index(axis)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dirt_tpu.ops.clipping import clip_faces
+from dirt_tpu.ops.clipping import clip_faces, compact_clipped, inside_counts
 from dirt_tpu.ops.raster import (
     STREAMING_FACES,
     RasterConfig,
@@ -25,6 +25,11 @@ from dirt_tpu.ops.raster import (
     suggest_config,
 )
 from dirt_tpu.ops.triangle_setup import screen_from_clip
+
+
+def _auto_clip_cap(num_faces: int) -> int:
+    """Default secondary-slot budget: 1/8 of the mesh, at least 64."""
+    return min(max(num_faces // 8, 64), num_faces)
 
 
 def _resolve_shape(background, height, width, channels):
@@ -42,54 +47,42 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
                       config, clip):
     """Gather per-face data and (optionally) near-plane clip it.
 
-    Clipping doubles the face array (``ops/clipping.py``: primary tri at
-    slot i, secondary at F + i, degenerate padding elsewhere), so the
-    dense/streaming auto-switch and ``fid % F`` remapping are resolved
-    here from the ORIGINAL face count.
+    Clipping produces [2F] sub-triangles (``ops/clipping.py``) which are
+    immediately compacted to ``F + clip_cap`` slots
+    (``clipping.compact_clipped``): primaries stay at their face's slot,
+    live secondaries (faces actually crossing the near plane — rare)
+    compact into the trailing slots. The engine auto-switches and
+    ``fid`` remapping resolve from the ORIGINAL face count.
+
+    Returns (face_verts, face_attrs, config, orig_id, clip_overflow) —
+    ``orig_id`` maps raster slot -> original face id (identity when
+    ``clip=False``), ``clip_overflow`` flags dropped secondaries.
     """
     num_faces = faces.shape[0]
     if clip:
         fv_clip = vertices[faces]                     # [F, 3, 4]
         fa = vertex_colors[faces]                     # [F, 3, C]
-        fv_clip, fa = clip_faces(fv_clip, fa)         # [2F, ...]
-        face_verts = screen_from_clip(fv_clip, height, width)
+        n_in = inside_counts(fv_clip)
+        fv2, fa2 = clip_faces(fv_clip, fa)            # [2F, ...]
+        cap = config.clip_cap
+        if cap is None:
+            cap = _auto_clip_cap(num_faces)
+        cap = min(cap, num_faces)
+        fv_c, fa_c, orig_id, clip_ovf = compact_clipped(
+            fv2, fa2, n_in, cap
+        )
+        face_verts = screen_from_clip(fv_c, height, width)
         if config.streaming is None:
             config = config._replace(
                 streaming=num_faces > STREAMING_FACES
             )
-        if config.budget is None:
-            # Half the clipped face array is degenerate padding (only
-            # faces actually crossing the near plane grow a second
-            # sub-triangle); sizing the packed iteration budget from the
-            # doubled array would double the row gather/stream costs.
-            from dirt_tpu.ops import binning
-            from dirt_tpu.ops.raster import (
-                PACKED_MIN_FACES,
-                resolve_engine,
-            )
-
-            ccfg = config.concrete(height)
-            if resolve_engine(ccfg, 2 * num_faces) == "packed":
-                hp = -(-height // ccfg.tile_h) * ccfg.tile_h
-                wp = -(-width // ccfg.tile_w) * ccfg.tile_w
-                _, _, strips, groups = binning.packed_grid(
-                    hp, wp, ccfg.tile_h, ccfg.tile_w
-                )
-                nsid = (hp // ccfg.tile_h) * (wp // ccfg.tile_w) * (
-                    strips * groups
-                )
-                expand = ccfg.expand_cap or binning.auto_packed_expand(
-                    2 * num_faces, nsid
-                )
-                config = config._replace(
-                    budget=binning.auto_packed_budget(
-                        num_faces + num_faces // 4, hp, wp,
-                        ccfg.tile_h, ccfg.tile_w, expand,
-                    )
-                )
-        return face_verts, fa, config, num_faces
+        return face_verts, fa_c, config, orig_id, clip_ovf
     verts_screen = screen_from_clip(vertices, height, width)
-    return verts_screen[faces], vertex_colors[faces], config, num_faces
+    orig_id = jnp.arange(num_faces, dtype=jnp.int32)
+    return (
+        verts_screen[faces], vertex_colors[faces], config, orig_id,
+        jnp.asarray(False),
+    )
 
 
 def rasterise(
@@ -123,7 +116,7 @@ def rasterise(
     vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
 
-    face_verts, face_attrs, config, _ = _clip_space_faces(
+    face_verts, face_attrs, config, _, _ = _clip_space_faces(
         vertices, vertex_colors, faces, h, w, config, clip
     )
     pixels, _, _, _ = rasterize_screen(
@@ -148,7 +141,7 @@ def rasterise_with_aux(
     """
     h, w, c = background.shape
     config = config or RasterConfig()
-    face_verts, face_attrs, config, num_faces = _clip_space_faces(
+    face_verts, face_attrs, config, orig_id, clip_ovf = _clip_space_faces(
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(vertex_colors, jnp.float32),
         jnp.asarray(faces, jnp.int32), h, w, config, clip,
@@ -157,10 +150,10 @@ def rasterise_with_aux(
         face_verts, face_attrs, background, config
     )
     if clip:
-        # Clipped sub-triangles live at slots i and F + i of the expanded
-        # array; report the ORIGINAL face id like the reference would.
-        fid = jnp.where(fid >= 0, fid % num_faces, fid)
-    return pixels, fid, zbuf, overflow
+        # Clipped sub-triangles live at compacted slots; report the
+        # ORIGINAL face id like the reference would.
+        fid = jnp.where(fid >= 0, orig_id[jnp.maximum(fid, 0)], fid)
+    return pixels, fid, zbuf, overflow | clip_ovf
 
 
 def suggest_raster_config(
@@ -178,10 +171,18 @@ def suggest_raster_config(
     """
     faces = jnp.asarray(faces, jnp.int32)
     vertices = jnp.asarray(vertices, jnp.float32)
+    config = config or RasterConfig()
     num_channels_dummy = jnp.zeros((vertices.shape[0], 1), jnp.float32)
-    face_verts, _, config, _ = _clip_space_faces(
+    if clip and config.clip_cap is None:
+        # Measure the exact secondary-slot requirement so the clip
+        # compaction cannot overflow for this geometry.
+        n_in = inside_counts(vertices[faces])
+        live = int(jnp.sum((n_in == 2).astype(jnp.int32)))
+        cap = min(max(int(live * margin), 8), faces.shape[0])
+        config = config._replace(clip_cap=cap)
+    face_verts, _, config, _, _ = _clip_space_faces(
         vertices, num_channels_dummy, faces, height, width,
-        config or RasterConfig(), clip,
+        config, clip,
     )
     return suggest_config(face_verts, height, width, config, margin)
 

@@ -9,6 +9,7 @@ full renders of straddling geometry.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -172,6 +173,7 @@ def test_unclipped_path_culls_crossing_faces():
     np.testing.assert_allclose(np.asarray(img_c), ref_img, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_clip_gradients_flow_and_are_finite():
     verts, colors, faces, bg, *_ = _straddle_scene(seed=9, n=12)
     target = jnp.zeros_like(bg)
@@ -190,6 +192,7 @@ def test_clip_gradients_flow_and_are_finite():
     assert float(jnp.abs(g_v[behind]).sum()) > 0
 
 
+@pytest.mark.slow
 def test_clip_interior_gradient_matches_fd():
     # Finite differences through the full clipped render for a vertex
     # whose face crosses the near plane: the loss is smooth in a

@@ -8,6 +8,7 @@ single-device tie rule. Runs on the virtual 8-device CPU mesh.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 import dirt_tpu
@@ -32,6 +33,7 @@ def _scene(seed=0, num_faces=48, num_verts=40):
             jnp.asarray(bg))
 
 
+@pytest.mark.slow
 def test_face_sharded_forward_matches_single_device():
     verts, colors, faces, bg = _scene()
     single = dirt_tpu.rasterise(
@@ -46,6 +48,7 @@ def test_face_sharded_forward_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_face_sharded_gradients_match_single_device():
     verts, colors, faces, bg = _scene(seed=4)
     target = jnp.zeros_like(bg)

@@ -1,6 +1,7 @@
 """Packed-subtile binning (v2 engine): layout invariants vs brute force."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from dirt_tpu.ops import binning
@@ -72,6 +73,7 @@ def _run_case(bbox, height, width, tile_h=32, tile_w=128, budget=None,
     return pb, nf, total, strips
 
 
+@pytest.mark.slow
 def test_packed_matches_brute_force_random():
     rng = np.random.RandomState(0)
     height, width = 64, 256
@@ -89,6 +91,7 @@ def test_packed_matches_brute_force_random():
     assert got == want
 
 
+@pytest.mark.slow
 def test_packed_chunk_map_and_alignment():
     rng = np.random.RandomState(1)
     height, width = 64, 128
@@ -108,6 +111,7 @@ def test_packed_chunk_map_and_alignment():
             assert chunk_tile[start_block[t] + j] == t
 
 
+@pytest.mark.slow
 def test_packed_budget_overflow_flagged():
     # 200 faces piled on one subtile -> 200 iterations needed; a budget of
     # 2 chunks (128 iters) cannot hold them -> flagged, every tile still

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import dirt_tpu
 from dirt_tpu.core import lighting, matrices, mesh
@@ -97,6 +98,7 @@ def test_config4_lit_gradients_to_light_and_pose():
     assert np.isfinite(np.asarray(g_pose)).all()
 
 
+@pytest.mark.slow
 def test_config5_deferred_full_graph():
     verts_obj, faces, clip = _cube_clip()
     verts_obj = jnp.asarray(verts_obj)

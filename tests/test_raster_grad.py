@@ -9,6 +9,7 @@ oracle's implementation of the same model, plus directional sanity.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dirt_tpu.ops.raster import RasterConfig, rasterize_screen
 from dirt_tpu.ref import slowref
@@ -46,6 +47,7 @@ def _oracle_grads(face_verts, face_attrs, background, grad_pixels):
     )
 
 
+@pytest.mark.slow
 def test_backward_matches_oracle_single_triangle():
     face_verts = _screen_face([[[10.3, 50.2], [54.1, 49.7], [32.2, 10.6]]])
     face_attrs = np.array([[[0.9], [0.4], [0.1]]], np.float32)
@@ -200,6 +202,7 @@ def test_gradient_descent_converges_on_translation():
     assert float(jnp.abs(offset).max()) < 2.0, offset
 
 
+@pytest.mark.slow
 def test_scatter_engine_matches_jax_engine():
     """The Pallas MXU scatter backward must equal the pure-JAX engine."""
     import jax
@@ -263,6 +266,7 @@ def _soup(seed=5, num_faces=90, height=96, width=160, channels=3):
     return face_verts, face_attrs, background, grad_pixels
 
 
+@pytest.mark.slow
 def test_packed_backward_matches_dense_backward():
     face_verts, face_attrs, background, grad_pixels = _soup()
     _, d_fv_d, d_fa_d, d_bg_d = _grads(
@@ -276,6 +280,7 @@ def test_packed_backward_matches_dense_backward():
     np.testing.assert_allclose(d_fv_p, d_fv_d, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_packed_backward_matches_oracle():
     face_verts, face_attrs, background, grad_pixels = _soup(seed=9)
     pix, d_fv, d_fa, d_bg = _grads(

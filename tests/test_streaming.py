@@ -45,6 +45,7 @@ def test_streaming_forward_matches_dense():
     np.testing.assert_allclose(np.asarray(z_d), np.asarray(z_s), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_gradients_match_dense():
     verts, colors, faces, bg, size = _scene(seed=1)
     w = jnp.asarray(np.random.RandomState(9).rand(size, size, 3), jnp.float32)
@@ -112,6 +113,7 @@ def test_csr_overflow_flags():
     assert bool(csr.overflow)
 
 
+@pytest.mark.slow
 def test_streaming_sphere_matches_dense():
     verts_obj, faces, _ = mesh.uv_sphere(n_lat=12, n_lon=16)
     mv = matrices.compose(
