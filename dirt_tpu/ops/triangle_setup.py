@@ -94,71 +94,86 @@ def setup_planes(face_verts_screen, face_attrs):
     num_faces = fv.shape[0]
     channels = fa.shape[-1]
 
-    x, y, z, invw = fv[..., 0], fv[..., 1], fv[..., 2], fv[..., 3]  # [F, 3]
-    area2 = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (
-        y[:, 1] - y[:, 0]
-    ) * (x[:, 2] - x[:, 0])
-    orient = jnp.where(area2 >= 0.0, 1.0, -1.0)
-    valid = (jnp.abs(area2) > AREA_EPS) & jnp.all(invw > 0.0, axis=1)
+    # Channels-first internals (ROADMAP r2 #1): [F, 3]-shaped corner
+    # arrays put a 3-wide minor dim on the 128-lane axis, and their VJP
+    # made XLA materialize a scalarized column-major relayout (~0.5 ms at
+    # 10k faces). ONE [F, 12] -> [12, F] transpose up front (whose
+    # pullback is one transpose back) turns every subsequent value into a
+    # lane-friendly [F] row vector.
+    cols = fv.reshape(num_faces, 12).T                      # [12, F]
+    x0, y0, z0, w0 = cols[0], cols[1], cols[2], cols[3]
+    x1, y1, z1, w1 = cols[4], cols[5], cols[6], cols[7]
+    x2, y2, z2, w2 = cols[8], cols[9], cols[10], cols[11]
+    xs, ys, zs, ws = (x0, x1, x2), (y0, y1, y2), (z0, z1, z2), (w0, w1, w2)
 
-    # Edge j from vertex (j+1)%3 to (j+2)%3 (opposite vertex j).
-    ia = jnp.array([1, 2, 0])
-    ib = jnp.array([2, 0, 1])
-    xa, ya = x[:, ia], y[:, ia]  # [F, 3]
-    xb, yb = x[:, ib], y[:, ib]
-    a_e = orient[:, None] * (ya - yb)
-    b_e = orient[:, None] * (xb - xa)
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    orient = jnp.where(area2 >= 0.0, 1.0, -1.0)
+    valid = (jnp.abs(area2) > AREA_EPS) & (w0 > 0.0) & (w1 > 0.0) \
+        & (w2 > 0.0)
+    zero = jnp.zeros((num_faces,), jnp.float32)
+
+    # Edge j from vertex (j+1)%3 to (j+2)%3 (opposite vertex j); invalid
+    # faces get edges that exclude every pixel.
+    a_e = [
+        jnp.where(valid, orient * (ys[(j + 1) % 3] - ys[(j + 2) % 3]), 0.0)
+        for j in range(3)
+    ]
+    b_e = [
+        jnp.where(valid, orient * (xs[(j + 2) % 3] - xs[(j + 1) % 3]), 0.0)
+        for j in range(3)
+    ]
     abs_area = orient * area2  # == |area2|, differentiable through area2
     # Edge values at the anchor (vertex 0): edge 0 evaluates to 2*|area|,
     # edges 1 and 2 pass through vertex 0 (exactly zero).
-    zeros = jnp.zeros_like(abs_area)
-    c_e = jnp.stack([abs_area, zeros, zeros], axis=1)
-
-    # Invalid faces: edges that exclude every pixel.
-    a_e = jnp.where(valid[:, None], a_e, 0.0)
-    b_e = jnp.where(valid[:, None], b_e, 0.0)
-    c_e = jnp.where(valid[:, None], c_e, -1.0)
+    c_e = [
+        jnp.where(valid, abs_area, -1.0),
+        jnp.where(valid, 0.0, -1.0),
+        jnp.where(valid, 0.0, -1.0),
+    ]
 
     inv_area = jnp.where(valid, 1.0 / jnp.where(valid, abs_area, 1.0), 0.0)
 
-    # Barycentric slope planes b_k = E_k / |area2|; affine combinations give
-    # the z / denominator / numerator slopes. Anchor values come directly
-    # from vertex 0 (exact), not from the combination.
-    def combine_slopes(weights):  # [F, 3] -> (a, b) of the combined plane
-        wa = jnp.sum(weights * a_e, axis=1) * inv_area
-        wb = jnp.sum(weights * b_e, axis=1) * inv_area
+    # Barycentric slope planes b_k = E_k / |area2|; affine combinations
+    # give the z / denominator / numerator slopes. Anchor values come
+    # directly from vertex 0 (exact), not from the combination.
+    def combine_slopes(w3):  # 3-tuple of [F] -> (a, b) of combined plane
+        wa = (w3[0] * a_e[0] + w3[1] * a_e[1] + w3[2] * a_e[2]) * inv_area
+        wb = (w3[0] * b_e[0] + w3[1] * b_e[1] + w3[2] * b_e[2]) * inv_area
         return wa, wb
 
-    za, zb = combine_slopes(z)
-    zc = jnp.where(valid, z[:, 0], 0.0)
-    da, db = combine_slopes(invw)
-    dc = jnp.where(valid, invw[:, 0], 1.0)
+    za, zb = combine_slopes(zs)
+    zc = jnp.where(valid, z0, 0.0)
+    da, db = combine_slopes(ws)
+    dc = jnp.where(valid, w0, 1.0)
 
     # Assemble both tables with ONE stack each: per-column .at[...].set
     # writes (especially strided ones) transpose into strided slice reads
     # whose VJP costs ~1 ms per call on TPU; a single stack's VJP is a
     # single unstack of contiguous slices.
     geo_cols = [
-        jnp.where(valid, x[:, 0], 0.0),       # GEO_AX
-        jnp.where(valid, y[:, 0], 0.0),       # GEO_AY
-        a_e[:, 0], b_e[:, 0], c_e[:, 0],      # edge 0
-        a_e[:, 1], b_e[:, 1], c_e[:, 1],      # edge 1
-        a_e[:, 2], b_e[:, 2], c_e[:, 2],      # edge 2
+        jnp.where(valid, x0, 0.0),            # GEO_AX
+        jnp.where(valid, y0, 0.0),            # GEO_AY
+        a_e[0], b_e[0], c_e[0],               # edge 0
+        a_e[1], b_e[1], c_e[1],               # edge 1
+        a_e[2], b_e[2], c_e[2],               # edge 2
         za, zb, zc,                           # GEO_Z
         da, db, dc,                           # GEO_DEN
     ]
-    zero = jnp.zeros((num_faces,), jnp.float32)
     geo = jnp.stack(geo_cols + [zero] * (GEO_WIDTH - GEO_USED), axis=1)
 
-    weighted = fa * invw[..., None]  # [F, 3, C]
-    # [F, C] slopes for all channels at once: contract the corner axis.
-    na_all = jnp.einsum("fkc,fk->fc", weighted, a_e) * inv_area[:, None]
-    nb_all = jnp.einsum("fkc,fk->fc", weighted, b_e) * inv_area[:, None]
-    nc_all = jnp.where(valid[:, None], weighted[:, 0, :], 0.0)
-    # [F, C, 3] -> [F, 3C] with (na, nb, nc) contiguous per channel.
-    att = jnp.stack([na_all, nb_all, nc_all], axis=2).reshape(
-        num_faces, 3 * channels
-    )
+    # Attribute planes, same channels-first treatment: corner k of channel
+    # c sits at row k*C + c of the transposed [3C, F] view.
+    faT = fa.reshape(num_faces, 3 * channels).T             # [3C, F]
+    att_cols = []
+    for c in range(channels):
+        wgt = [faT[k * channels + c] * ws[k] for k in range(3)]
+        na = (wgt[0] * a_e[0] + wgt[1] * a_e[1] + wgt[2] * a_e[2]) \
+            * inv_area
+        nb = (wgt[0] * b_e[0] + wgt[1] * b_e[1] + wgt[2] * b_e[2]) \
+            * inv_area
+        nc = jnp.where(valid, wgt[0], 0.0)
+        att_cols += [na, nb, nc]
+    att = jnp.stack(att_cols, axis=1)                       # [F, 3C]
 
     return geo, att, valid
 
