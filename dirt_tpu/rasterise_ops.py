@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dirt_tpu.ops.clipping import clip_faces, compact_clipped, inside_counts
+from dirt_tpu.ops.clipping import clip_and_compact, inside_counts
 from dirt_tpu.ops.raster import (
     STREAMING_FACES,
     RasterConfig,
@@ -62,15 +62,11 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
     if clip:
         fv_clip = vertices[faces]                     # [F, 3, 4]
         fa = vertex_colors[faces]                     # [F, 3, C]
-        n_in = inside_counts(fv_clip)
-        fv2, fa2 = clip_faces(fv_clip, fa)            # [2F, ...]
         cap = config.clip_cap
         if cap is None:
             cap = _auto_clip_cap(num_faces)
         cap = min(cap, num_faces)
-        fv_c, fa_c, orig_id, clip_ovf = compact_clipped(
-            fv2, fa2, n_in, cap
-        )
+        fv_c, fa_c, orig_id, clip_ovf = clip_and_compact(fv_clip, fa, cap)
         face_verts = screen_from_clip(fv_c, height, width)
         if config.streaming is None:
             config = config._replace(

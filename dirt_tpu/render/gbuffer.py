@@ -53,15 +53,18 @@ def render_gbuffer(
     faces = jnp.asarray(faces, jnp.int32)
     from dirt_tpu.rasterise_ops import _clip_space_faces
 
-    face_verts, face_attrs, config, num_faces = _clip_space_faces(
+    face_verts, face_attrs, config, orig_id, clip_ovf = _clip_space_faces(
         jnp.asarray(vertices_clip, jnp.float32), stacked, faces,
         height, width, config, clip,
     )
     pixels, fid, zbuf, overflow = rasterize_screen(
         face_verts, face_attrs, background, config
     )
+    overflow = overflow | clip_ovf
     if clip:
-        fid = jnp.where(fid >= 0, fid % num_faces, fid)
+        # Clipped sub-triangles live at compacted slots; report the
+        # ORIGINAL face id like the reference would.
+        fid = jnp.where(fid >= 0, orig_id[jnp.maximum(fid, 0)], fid)
 
     out = {}
     offset = 0
