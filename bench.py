@@ -29,10 +29,43 @@ import dirt_tpu  # noqa: E402
 
 # Round-1 first *honest* measurement on one TPU v5e chip (Mpix/s fwd+bwd at
 # 1024^2, 10k-tri sphere), measured with utils/benchtime.device_time (the
-# axon transport pipelines dispatch, so naive block_until_ready loops
-# measure enqueue rate, not device time). Later rounds divide by this to
-# show self-improvement.
+# axon transport pipelines pipeline dispatch, so naive block_until_ready
+# loops measure enqueue rate, not device time). Later rounds divide by this
+# to show self-improvement.
 BASELINE_MPIX_S = 18.8
+
+# v5e single-chip peaks, for roofline context (how far each stage is from
+# physics, not just from round 1): HBM bandwidth and bf16 MXU throughput.
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def _roofline(t_s, hbm_bytes):
+    """(achieved GB/s over the *minimum* HBM traffic, % of speed of light).
+
+    ``hbm_bytes`` is the information-theoretic floor: bytes that MUST cross
+    HBM for the op (inputs read once + outputs written once). Achieved
+    fraction near 100% => bandwidth-bound at speed of light; a small
+    fraction (the usual case here) => the op is bound by iteration/compute
+    cost, i.e. there is headroom that more fusion/packing could claim.
+    """
+    gbps = hbm_bytes / t_s / 1e9
+    return gbps, 100.0 * gbps / V5E_HBM_GBPS
+
+
+def _fwd_min_bytes(size, num_faces, channels=3):
+    # Read: per-face screen verts + attrs (f32); write: the [H,W,C] image.
+    read = num_faces * 3 * (4 + channels) * 4
+    write = size * size * channels * 4
+    return read + write
+
+
+def _fwdbwd_min_bytes(size, num_faces, channels=3):
+    # Forward traffic + read the [H,W,C] cotangent + re-read the G-buffer
+    # coverage (fid + z) + write per-vertex grads (small).
+    fwd = _fwd_min_bytes(size, num_faces, channels)
+    bwd = size * size * (channels + 2) * 4 + num_faces * 3 * (4 + channels) * 4
+    return fwd + bwd
 
 
 def build(size):
@@ -132,11 +165,19 @@ def main():
     backend = jax.default_backend()
     r256 = bench_size(256)
     r1024 = bench_size(1024)
+    nf_sphere = 10224
     for r in (r256, r1024):
+        s = r["size"]
+        g_f, p_f = _roofline(r["fwd_ms"] / 1e3, _fwd_min_bytes(s, nf_sphere))
+        g_b, p_b = _roofline(
+            r["fwdbwd_ms"] / 1e3, _fwdbwd_min_bytes(s, nf_sphere)
+        )
         print(
-            f"# {r['size']}^2: fwd {r['fwd_ms']:.2f} ms "
-            f"({r['fwd_mpix_s']:.1f} Mpix/s), fwd+bwd {r['fwdbwd_ms']:.2f} ms "
-            f"({r['fwdbwd_mpix_s']:.1f} Mpix/s) [{backend}]",
+            f"# {s}^2: fwd {r['fwd_ms']:.2f} ms "
+            f"({r['fwd_mpix_s']:.1f} Mpix/s, {g_f:.0f} GB/s = {p_f:.1f}% of "
+            f"HBM speed-of-light), fwd+bwd {r['fwdbwd_ms']:.2f} ms "
+            f"({r['fwdbwd_mpix_s']:.1f} Mpix/s, {g_b:.0f} GB/s = {p_b:.1f}% "
+            f"SOL) [{backend}]",
             file=sys.stderr,
         )
     t_clip = bench_clip_path()
@@ -146,9 +187,10 @@ def main():
         file=sys.stderr,
     )
     nf, t100 = bench_streaming_100k()
+    g_s, p_s = _roofline(t100, _fwd_min_bytes(1024, nf))
     print(
         f"# {nf}-tri streaming fwd 1024^2: {t100*1e3:.1f} ms "
-        f"({1024*1024/1e6/t100:.1f} Mpix/s)",
+        f"({1024*1024/1e6/t100:.1f} Mpix/s, {g_s:.0f} GB/s = {p_s:.1f}% SOL)",
         file=sys.stderr,
     )
     value = r1024["fwdbwd_mpix_s"]

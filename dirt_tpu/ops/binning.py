@@ -335,6 +335,19 @@ def auto_packed_budget(num_faces: int, height: int, width: int,
         # one group) but ~jobs/8 * imbalance in practice; 2x margin over
         # the balanced estimate plus per-tile padding slack.
         bound = (num_faces * expand_cap) // GROUPS * 2 + total * PACK_ITERS
+        if num_faces * expand_cap >= 32 * nsid:
+            # Dense regime (>= 32 jobs per subtile on average): the
+            # per-strip group-max tracks the group-mean closely, so a
+            # 1.4x margin suffices. Every per-budget-row cost (entry
+            # construction, table-row gather, chunk streaming) scales
+            # with this number — at 256^2/10k faces the 2x margin alone
+            # cost ~0.5 ms/step. Overflow stays flagged and
+            # suggest_config still measures the exact requirement.
+            bound = min(
+                bound,
+                (num_faces * expand_cap) // GROUPS * 7 // 5
+                + total * PACK_ITERS,
+            )
         budget = min(budget, bound)
     # Floor: every tile needs at least one chunk for its init step.
     budget = max(budget, (total + 2) * PACK_ITERS)
@@ -376,13 +389,14 @@ def bin_faces_packed(
     4. grid-level prefix math (max over groups -> iterations per strip ->
        per-tile chunk spans, water-filled so every tile keeps >= 1 chunk
        even when the budget overflows);
-    5. a second merged sort carries each sid's row start and its tile's
-       row limit as payloads on the headers; a cummax propagates them
-       down the run — no gathers anywhere;
-    6. one placement scatter writes ``face * 8 + strip`` into the padded
-       entry array (defaults carry the correct strip via an
-       interval-marks cumsum, so sentinel rows keep iterations
-       self-describing).
+    5. per-row source positions: run starts (prefix sums over sid) are
+       scattered at the nsid strip-start slots of the [rows/8, 8] grid
+       and propagated down each lane column by cummax;
+    6. entries are BUILT BY ONE ROW GATHER from the sorted pair array
+       (rows failing the run-end bound keep the strip-aware sentinel
+       default from an interval-marks cumsum). No placement scatter, no
+       second sort: the gather construction replaced both (0.85 ms ->
+       ~0.3 ms at 1024^2 / 10k faces).
     """
     bxmin, bxmax, bymin, bymax = _bbox_cols(bbox)
     nf = bxmin.shape[0]
@@ -475,56 +489,92 @@ def bin_faces_packed(
         + jnp.arange(groups, dtype=jnp.int32)[None, None, :]
     )                                                        # [T, S, G]
 
-    # --- 5. merged sort #2 with payloads (rowstart, row limit) --------
-    # Headers of EMPTY runs must carry -1: their rowstart (block start + g)
-    # can exceed the next strip's block start, which would poison the
-    # cummax propagation. Restricted to non-empty runs, rowstart is
-    # strictly increasing in sid (a non-empty strip allocates >= 8 rows
-    # before the next strip's block starts), so cummax is exact.
-    nonempty = (counts > 0).reshape(-1)
-    pay_start = jnp.concatenate(
-        [jnp.zeros((nf * expand_cap,), jnp.int32),
-         jnp.where(nonempty, rowstart.reshape(-1), -1)]
-    )
-    pay_limit = jnp.concatenate(
-        [jnp.zeros((nf * expand_cap,), jnp.int32),
-         jnp.where(
-             nonempty,
-             jnp.broadcast_to(
-                 limit_rows[:, None, None], rowstart.shape
-             ).reshape(-1),
-             -1,
-         )]
-    )
-    _, _, start_v, limit_v = jax.lax.sort(
-        (sid_all, face_all, pay_start, pay_limit), num_keys=2
-    )
-    # Stable sort + identical keys => same order as sort #1, so rank /
-    # is_start computed there align with these payload columns.
-    is_hdr = face_s < 0
-    rowstart_pair = jax.lax.cummax(jnp.where(is_hdr, start_v, -1))
-    limit_pair = jax.lax.cummax(jnp.where(is_hdr, limit_v, -1))
+    # --- 5. per-row run metadata via strip-start scatters + cummax ----
+    # Entries are BUILT BY GATHER, not placed by scatter (the [n_pairs]
+    # placement scatter cost 0.62 ms at 1024^2/10k faces — the largest
+    # single binning term — and needed a second 4-column merged sort to
+    # propagate destinations; both are gone). The layout is regular: in
+    # the [budget_rows/8, 8] view (block-row j, column g), strip starts
+    # are 8-row-aligned, so row (j, g) of the strip starting at block-row
+    # X8 holds job rank k = j - X8 of subtile (tile, strip, group g) —
+    # whose source position in the sorted pair array is
+    # ``A[sid] + 1 + k`` (A = header-inclusive run start, a plain prefix
+    # sum of counts + 1 over sid). A and the run-end bound A_next are
+    # scattered at ONLY the nsid strip-start slots and propagated down
+    # each column with a cummax (both are strictly increasing in sid, and
+    # column scatter rows strictly increase per non-empty strip, so the
+    # propagation is exact); X8 propagates the same way on the flat
+    # block-row axis. Rows whose k >= counts[sid] fail ``src < A_next``
+    # and keep the strip-aware sentinel default.
+    # All grids live TRANSPOSED as [GROUPS, r8] (block-row on the LANE
+    # axis) — [r8, 8] arrays use 8 of 128 lanes and their axis-0 scans
+    # run at 1/16 lane utilization (measured 3x total regression).
+    r8 = budget_rows // GROUPS
+    counts_flat = counts.reshape(-1)                      # [nsid]
+    run_len = counts_flat + 1                             # + header
+    a_start = _scan_sum(run_len) - run_len                # [nsid]
+    a_next = a_start + run_len
 
-    dest = rowstart_pair + GROUPS * (rank - 1)
-    real = ~is_hdr & (sid_s < nsid)
-    keep = real & (dest >= 0) & (dest < jnp.minimum(
-        limit_pair, budget_rows - 1
-    ))
-    dropped = real & ~keep
-
-    # --- 6. entries: strip-aware defaults + one placement scatter -----
-    strip_starts = jnp.clip(rowstart[:, :, 0].reshape(-1), 0,
-                            budget_rows - 1)
-    marks = jnp.zeros((budget_rows,), jnp.int32).at[strip_starts].add(1)
-    s_row = (jnp.cumsum(marks) - 1) % strips
-    default = (nf * 8 + s_row).astype(jnp.int32)
-
-    value = face_s * 8 + (sid_s // groups) % strips
-    dest_m = jnp.where(keep, dest, budget_rows - 1)
-    entries = default.at[dest_m].set(
-        jnp.where(keep, value, default[budget_rows - 1])
+    n_iter_sid = jnp.broadcast_to(
+        n_iter[:, :, None], (total, strips, groups)
+    ).reshape(-1)
+    limit8_sid = jnp.broadcast_to(
+        (limit_rows // GROUPS)[:, None, None], (total, strips, groups)
+    ).reshape(-1)
+    x8_sid = jnp.broadcast_to(
+        (rowstart[:, :, 0] // GROUPS)[:, :, None],
+        (total, strips, groups),
+    ).reshape(-1)
+    g_sid = jnp.tile(jnp.arange(groups, dtype=jnp.int32), nsid // groups)
+    # Overflow spill guard: a strip start at/past its tile's row limit
+    # would collide with the next tile's start slot — drop it (its jobs
+    # are already counted by the n_iters_eff truncation flag).
+    scatter_ok = (n_iter_sid > 0) & (x8_sid < limit8_sid)
+    # Flat 1D scatters (2D-index scatters take the slow per-element path).
+    slot_t = jnp.where(scatter_ok, g_sid * r8 + x8_sid, GROUPS * r8)
+    neg = jnp.full((GROUPS * r8,), -1, jnp.int32)
+    a_grid = _scan_max(
+        neg.at[slot_t].set(a_start, mode="drop").reshape(GROUPS, r8),
+        axis=1,
+    )                                                     # [8, r8]
+    a_next_grid = _scan_max(
+        neg.at[slot_t].set(a_next, mode="drop").reshape(GROUPS, r8),
+        axis=1,
     )
-    entries = entries.at[budget_rows - 1].set(default[budget_rows - 1])
+    strip_start8 = rowstart[:, :, 0].reshape(-1) // GROUPS  # [T*S]
+    strip_ok = (n_iter.reshape(-1) > 0) & (
+        strip_start8
+        < jnp.broadcast_to(
+            (limit_rows // GROUPS)[:, None], (total, strips)
+        ).reshape(-1)
+    )
+    x8_grid = _scan_max(
+        jnp.full((r8,), -1, jnp.int32).at[
+            jnp.where(strip_ok, strip_start8, r8)
+        ].set(strip_start8, mode="drop")
+    )                                                     # [r8]
+    # Strip index per block-row (for the strip-aware sentinel defaults).
+    smarks = jnp.zeros((r8,), jnp.int32).at[
+        jnp.where(strip_ok, strip_start8, r8)
+    ].add(1, mode="drop")
+    s_row8 = (jnp.cumsum(smarks) - 1) % strips            # [r8]
+
+    j_idx = jnp.arange(r8, dtype=jnp.int32)[None, :]      # [1, r8]
+    src = a_grid + 1 + (j_idx - x8_grid[None, :])         # [8, r8]
+    valid = (a_grid >= 0) & (src < a_next_grid)
+    src_c = jnp.clip(src, 0, n_merged - 1)
+
+    # --- 6. entries: strip-aware defaults + ONE row gather ------------
+    # Width-8 broadcast source: [n, 1] row gathers take a slow path
+    # (0.85 ms) where >= 8-lane rows run at ~2.4 ns/row (0.30 ms).
+    face_w = jnp.broadcast_to(face_s[:, None], (n_merged, 8))
+    gathered = face_w[src_c.reshape(-1)][:, 0].reshape(GROUPS, r8)
+    entries_t = jnp.where(
+        valid & (gathered >= 0),
+        gathered * 8 + s_row8[None, :],
+        nf * 8 + s_row8[None, :],
+    )                                                     # [8, r8]
+    entries = entries_t.T.reshape(-1).astype(jnp.int32)
 
     # --- chunk -> tile map via interval marks -------------------------
     cmarks = jnp.zeros((budget_chunks,), jnp.int32).at[
@@ -534,11 +584,10 @@ def bin_faces_packed(
         _scan_sum(cmarks) - 1, 0, total - 1
     ).astype(jnp.int32)
 
-    overflow = (
-        jnp.any(face_overflow)
-        | jnp.any(dropped)
-        | jnp.any(n_iters_eff < tile_iters)
-    )
+    # Truncated jobs (rows past a tile's chunk allocation) are exactly the
+    # tiles with n_iters_eff < tile_iters: a job of tile-local iteration i
+    # fits iff i < chunks_eff * PACK_ITERS.
+    overflow = jnp.any(face_overflow) | jnp.any(n_iters_eff < tile_iters)
     return PackedBins(
         entries=entries,
         chunk_tile=chunk_tile,
