@@ -468,12 +468,11 @@ def _fwd_packed_kernel(
                     jnp.float32
                 ) + 0.5
 
-                def body(g, carry):
+                def eval8(m8, carry, ok):
+                    # One iteration's 8 faces vs this strip row; ``ok``
+                    # masks speculative tail evaluations whose rows may
+                    # belong to the next strip.
                     zb, fb, pix = carry
-                    row0 = pl.multiple_of(
-                        (g - j * PACK_ITERS) * GROUPS, GROUPS
-                    )
-                    m8 = rows_ref[pl.ds(row0, GROUPS), :]     # [8, W]
 
                     def cf(k):
                         # [8, 1] column: face coefficient per sublane,
@@ -487,7 +486,10 @@ def _fwd_packed_kernel(
                     e2 = cf(8) * dx + cf(9) * dy + cf(10)
                     inside = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0.0
                     zv = cf(11) * dx + cf(12) * dy + cf(13)
-                    mask = inside & (zv < zb) & (zv >= -1.0) & (zv <= 1.0)
+                    mask = (
+                        inside & (zv < zb) & (zv >= -1.0) & (zv <= 1.0)
+                        & ok
+                    )
                     den = cf(14) * dx + cf(15) * dy + cf(16)
                     recip = 1.0 / den
                     fidv = cf(COL_ID).astype(jnp.int32)
@@ -509,12 +511,42 @@ def _fwd_packed_kernel(
                         new_pix,
                     )
 
+                # Two iterations per loop body sharing ONE dynamic-offset
+                # VMEM read: the [8, W] read at a dynamic sublane offset
+                # costs ~40 ns — a third of the whole iteration — so
+                # pairing reads [16, W] once and evaluates both halves
+                # back to back (same order => identical z-tie semantics).
+                ok_t = jnp.bool_(True)
+
+                def body2(p, carry):
+                    g0 = lo + 2 * p
+                    row0 = pl.multiple_of(
+                        (g0 - j * PACK_ITERS) * GROUPS, 2 * GROUPS
+                    )
+                    m16 = rows_ref[pl.ds(row0, 2 * GROUPS), :]  # [16, W]
+                    carry = eval8(m16[:GROUPS], carry, ok_t)
+                    return eval8(m16[GROUPS:], carry, ok_t)
+
                 init = (
                     z_ref[rs, :],
                     fid_ref[rs, :],
                     tuple(pix_ref[ch, rs, :] for ch in range(channels)),
                 )
-                zb, fb, pix = jax.lax.fori_loop(lo, hi, body, init)
+                npairs = (hi - lo) // 2
+                carry = jax.lax.fori_loop(0, npairs, body2, init)
+                # Odd tail: evaluated speculatively (the read stays inside
+                # the chunk block), masked by ``ok``.
+                g_t = lo + 2 * npairs
+                # Clamp: with an even count g_t can be one past the chunk.
+                row_t = pl.multiple_of(
+                    jnp.minimum(
+                        (g_t - j * PACK_ITERS) * GROUPS,
+                        PACK_CHUNK - GROUPS,
+                    ),
+                    GROUPS,
+                )
+                m8_t = rows_ref[pl.ds(row_t, GROUPS), :]
+                zb, fb, pix = eval8(m8_t, carry, g_t < hi)
                 z_ref[rs, :] = zb
                 fid_ref[rs, :] = fb
                 for ch in range(channels):

@@ -130,8 +130,11 @@ def test_native_speed_on_large_mesh(tmp_path):
     m = load_obj(p, native=True)
     dt = time.time() - t0
     assert m.faces.shape == (240_000, 3)
-    # The C++ parser should chew ~10 MB of OBJ text well under a second.
-    assert dt < 2.0, f"native load took {dt:.2f}s"
+    # The C++ parser chews ~10 MB of OBJ text in well under a second on an
+    # idle machine; the bound is a loose catastrophic-slowdown guard only —
+    # wall clock under concurrent test load is not a benchmark (a 2 s bound
+    # flaked whenever the suite shared the box with another run).
+    assert dt < 15.0, f"native load took {dt:.2f}s"
 
 
 def test_loaded_mesh_renders(tmp_path):
