@@ -22,13 +22,17 @@ import dirt_tpu  # noqa: E402
 
 
 def _report(name, size, fwd_fn, fwd_args, loss_fn, loss_args):
-    # Small configs need many reps for the rep-count differencing to rise
-    # above wall noise.
-    r2 = 6 if size >= 512 else 101
-    t_f = device_time(fwd_fn, fwd_args, r1=1, r2=r2, samples=2)
+    # The rep-count differencing needs (r2 - r1) * t >= ~30-100 ms of
+    # signal to rise above transport-RTT variance (~ms even after the
+    # fixed part cancels). Small/fast configs therefore need MANY reps:
+    # r2=6 at 512^2 (a ~1-2 ms workload) produced garbage (config4 fwd
+    # "5.1 ms" > its own grad step). Rolled fori_loop reps are free at
+    # compile time.
+    r2 = {64: 601, 256: 301, 512: 101}.get(size, 26)
+    t_f = device_time(fwd_fn, fwd_args, r1=2, r2=r2, samples=3)
     t_b = device_time(
         jax.grad(loss_fn, argnums=tuple(range(len(loss_args)))),
-        loss_args, r1=1, r2=r2, samples=2,
+        loss_args, r1=2, r2=r2, samples=3,
     )
     mpix = size * size / 1e6
     print(f"{name:46s} fwd {t_f*1e3:7.2f} ms ({mpix/t_f:7.1f} Mpix/s)   "

@@ -300,6 +300,17 @@ class PackedBins(NamedTuple):
     iter_off: jax.Array     # [num_tiles * strips] int32: first iteration
                             # (tile-local) of each strip's contiguous run
     strip_iters: jax.Array  # [num_tiles * strips] int32: run length
+    # [F, E] int32, or None: budget-row index holding face f's e-th
+    # (face, subtile) pair — the exact INVERSE of the entries gather, so
+    # the backward can reduce per-entry cotangent rows to faces with one
+    # row GATHER + a dense sum over E instead of an XLA scatter-add
+    # (segment_sum cost ~9 ns/row: 1.08 ms at 1024^2/10k faces — the
+    # single largest backward piece, round-3 profile). Missing/truncated
+    # pairs hold the sentinel ``budget_rows`` (a zero row in the padded
+    # cotangent table). None when F * E would out-size the scatter it
+    # replaces (huge explicit expand caps) — the backward then falls back
+    # to segment_sum.
+    pair_rows: jax.Array | None = None
 
 
 def packed_grid(height: int, width: int, tile_h: int, tile_w: int):
@@ -443,7 +454,25 @@ def bin_faces_packed(
     hdr_face = jnp.full((nsid,), -1, jnp.int32)
     sid_all = jnp.concatenate([sid.reshape(-1), hdr_sid])
     face_all = jnp.concatenate([face.reshape(-1), hdr_face])
-    sid_s, face_s = jax.lax.sort((sid_all, face_all), num_keys=2)
+    # Backward pair backpointers ride the same sort as a payload: q is the
+    # face-major pair index f * E + e (every (f, e) slot present exactly
+    # once — invalid pairs keep their q and later resolve to the sentinel
+    # row), headers sort-stable at q >= F * E. Gated off when F * E would
+    # out-size the segment_sum it replaces (see PackedBins.pair_rows).
+    want_pair_rows = (
+        nf * expand_cap <= 2 * budget_rows
+        and nf * expand_cap < 2**31 - nsid - 1
+    )
+    if want_pair_rows:
+        q_all = jnp.concatenate([
+            (face * expand_cap + e).reshape(-1),
+            nf * expand_cap + hdr_sid,
+        ]).astype(jnp.int32)
+        sid_s, face_s, q_s = jax.lax.sort(
+            (sid_all, face_all, q_all), num_keys=2
+        )
+    else:
+        sid_s, face_s = jax.lax.sort((sid_all, face_all), num_keys=2)
     n_merged = sid_s.shape[0]
 
     iota = jnp.arange(n_merged, dtype=jnp.int32)
@@ -576,6 +605,36 @@ def bin_faces_packed(
     )                                                     # [8, r8]
     entries = entries_t.T.reshape(-1).astype(jnp.int32)
 
+    # --- backward pair backpointers (inverse of the entries gather) ---
+    # For sorted pair p of subtile sid with in-run rank k = rank - 1, the
+    # entries construction above places it at block-row j = x8[sid] + k,
+    # lane g = sid % groups, i.e. budget row 8 j + g (see step 5/6; the
+    # placement is bijective on valid pairs). Per-run x8 / row-limit
+    # values spread scatter-free: sid h's header sits at sorted position
+    # a_start[h] (runs are header-inclusive), both fields are
+    # non-decreasing in sid, so an nsid-slot scatter + cummax propagates
+    # them to every pair of the run. A second (q, row) sort then unsorts
+    # the rows to the face-major [F, E] grid. Consumed only by
+    # ``packed_bwd``; forward-only graphs DCE this whole block.
+    if want_pair_rows:
+        neg_m = jnp.full((n_merged,), -1, jnp.int32)
+        x8_run = jax.lax.cummax(neg_m.at[a_start].set(x8_sid))
+        lim8_run = jax.lax.cummax(neg_m.at[a_start].set(limit8_sid))
+        k_p = rank - 1
+        j_p = x8_run + k_p
+        sid_c = jnp.minimum(sid_s, nsid - 1)
+        valid_p = (
+            (rank >= 1) & (face_s >= 0) & (sid_s < nsid)
+            & (x8_run >= 0) & (j_p < lim8_run)
+        )
+        row_val = jnp.where(
+            valid_p, j_p * GROUPS + sid_c % groups, budget_rows
+        ).astype(jnp.int32)
+        _, row_sorted = jax.lax.sort((q_s, row_val), num_keys=1)
+        pair_rows = row_sorted[:nf * expand_cap].reshape(nf, expand_cap)
+    else:
+        pair_rows = None
+
     # --- chunk -> tile map via interval marks -------------------------
     cmarks = jnp.zeros((budget_chunks,), jnp.int32).at[
         jnp.clip(start_block, 0, budget_chunks - 1)
@@ -596,4 +655,5 @@ def bin_faces_packed(
         overflow=overflow,
         iter_off=iter_off.reshape(-1).astype(jnp.int32),
         strip_iters=n_iter.reshape(-1).astype(jnp.int32),
+        pair_rows=pair_rows,
     )

@@ -347,11 +347,27 @@ def backward_packed(
       sval_f)
 
     with jax.named_scope("dirt_packed_bwd_reduce"):
-        face_rows = jax.ops.segment_sum(
-            entry_rows, bins.entries // 8, num_segments=num_faces + 1
-        )
+        if bins.pair_rows is not None:
+            # Gather-based reduce via the binning's pair backpointers
+            # (PackedBins.pair_rows): each face's E candidate budget rows
+            # are fetched with one row gather (sentinel -> padded zero
+            # row) and summed densely. Replaces the XLA scatter-add
+            # (~9 ns/row: 1.08 ms at 1024^2/10k faces) and scales with
+            # real pairs F * E instead of the padded budget.
+            padded = jnp.concatenate(
+                [entry_rows, jnp.zeros((1, k_cols), jnp.float32)]
+            )
+            nf_p, e_p = bins.pair_rows.shape
+            rows_fe = padded[bins.pair_rows.reshape(-1)]
+            face_rows = rows_fe.reshape(nf_p, e_p, k_cols).sum(axis=1)
+            face_rows = face_rows[:num_faces]
+        else:
+            face_rows = jax.ops.segment_sum(
+                entry_rows, bins.entries // 8,
+                num_segments=num_faces + 1,
+            )[:num_faces]
     d_geo, d_att = assemble_face_gradients(
-        geo, att, face_rows[:num_faces], channels
+        geo, att, face_rows, channels
     )
     d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
     return d_geo, d_att, d_background

@@ -429,6 +429,7 @@ def suggest_config(
     config = (config or RasterConfig()).concrete(height)
     num_faces = face_verts_screen.shape[0]
     streaming = use_streaming(config, num_faces)
+    engine = resolve_engine(config, num_faces)
     _, _, valid = setup_planes(
         face_verts_screen,
         jnp.zeros((num_faces, 3, 1), jnp.float32),
@@ -442,4 +443,64 @@ def suggest_config(
     kwargs = dict(bin_cap=cap)
     if streaming or config.streaming:
         kwargs["expand_cap"] = max(int(int(max_span) * margin), 1)
+    if engine == "packed":
+        # The packed engine's caps are SUBTILE-granular (8x16), not
+        # tile-granular: measure the exact per-face subtile span and the
+        # exact iteration demand (per-strip group-max summed, with
+        # per-tile chunk-padding), so the auto heuristics' overflow flag
+        # can always be silenced by one count-then-allocate call. The
+        # round-3 audit found the auto expand cap (8) silently-flagged on
+        # the flagship 10k-face 1024^2 scene (true max span 24).
+        exp, bud = count_packed_exact(
+            bbox, height, width, config.tile_h, config.tile_w, margin
+        )
+        kwargs["expand_cap"] = exp
+        kwargs["budget"] = bud
     return config._replace(**kwargs)
+
+
+def count_packed_exact(bbox, height: int, width: int, tile_h: int,
+                       tile_w: int, margin: float = 1.25):
+    """Exact (expand_cap, budget) for the packed engine, O(F + subtiles).
+
+    Counting half of count-then-allocate at subtile granularity: 2D
+    inclusion-exclusion over the 8x16 subtile grid gives per-subtile face
+    counts; per-(tile, strip) iteration demand is the max over the
+    strip's 8 lane groups; the budget is the sum of per-tile demands
+    rounded up to whole PACK_CHUNK chunks (each tile owns at least its
+    init chunk, mirroring ``bin_faces_packed``'s layout). Host-
+    synchronizing — call outside jit.
+    """
+    hp = _pad_to(height, tile_h)
+    wp = _pad_to(width, tile_w)
+    tiles_y, tiles_x, strips, groups = binning.packed_grid(
+        hp, wp, tile_h, tile_w
+    )
+    gy_n = tiles_y * strips
+    gx_n = tiles_x * groups
+    bbox = jnp.asarray(bbox, jnp.int32)
+    gxmin = jnp.clip(bbox[:, 0] // binning.SUB_W, 0, gx_n - 1)
+    gxmax = jnp.clip(bbox[:, 1] // binning.SUB_W, 0, gx_n - 1)
+    gymin = jnp.clip(bbox[:, 2] // binning.SUB_H, 0, gy_n - 1)
+    gymax = jnp.clip(bbox[:, 3] // binning.SUB_H, 0, gy_n - 1)
+    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
+    w = valid.astype(jnp.int32)
+    diff = jnp.zeros((gy_n + 1, gx_n + 1), jnp.int32)
+    diff = diff.at[gymin, gxmin].add(w)
+    diff = diff.at[gymin, gxmax + 1].add(-w)
+    diff = diff.at[gymax + 1, gxmin].add(-w)
+    diff = diff.at[gymax + 1, gxmax + 1].add(w)
+    counts = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:gy_n, :gx_n]
+    counts = counts.reshape(tiles_y, strips, tiles_x, groups)
+    n_iter = jnp.max(counts, axis=3)                  # [ty, strips, tx]
+    tile_iters = jnp.sum(n_iter, axis=1)              # [ty, tx]
+    chunks = jnp.maximum(
+        -(-(tile_iters * margin).astype(jnp.int32) // binning.PACK_ITERS),
+        1,
+    )
+    budget = int(jnp.sum(chunks)) * binning.PACK_ITERS
+    span = jnp.where(
+        valid, (gxmax - gxmin + 1) * (gymax - gymin + 1), 0
+    )
+    expand = max(int(int(jnp.max(span)) * margin), 1)
+    return expand, budget

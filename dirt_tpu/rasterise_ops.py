@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from dirt_tpu.ops.clipping import clip_and_compact, inside_counts
+from dirt_tpu.ops.clipping import clip_compact_screen, inside_counts
 from dirt_tpu.ops.raster import (
     STREAMING_FACES,
     RasterConfig,
@@ -28,8 +28,19 @@ from dirt_tpu.ops.triangle_setup import screen_from_clip
 
 
 def _auto_clip_cap(num_faces: int) -> int:
-    """Default secondary-slot budget: 1/8 of the mesh, at least 64."""
-    return min(max(num_faces // 8, 64), num_faces)
+    """Default secondary-slot budget: 1/32 of the mesh, at least 64.
+
+    Faces crossing the near plane are a silhouette curve through the
+    mesh (O(sqrt F) in practice), not an area, so 1/32 is generous for
+    real scenes. The budget is deliberately small because every
+    secondary slot taxes the whole pipeline even when degenerate: the
+    round-2 default of F/8 made the public clip=True path ~35% slower
+    than clip=False on a scene with ZERO crossing faces (round-3
+    profile: the binning/budget scaling alone cost ~0.7 ms at 1024^2).
+    Overflow (more crossing faces than slots) is always flagged on the
+    API, and ``suggest_raster_config`` measures the exact requirement.
+    """
+    return min(max(num_faces // 32, 64), num_faces)
 
 
 def _resolve_shape(background, height, width, channels):
@@ -66,8 +77,9 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
         if cap is None:
             cap = _auto_clip_cap(num_faces)
         cap = min(cap, num_faces)
-        fv_c, fa_c, orig_id, clip_ovf = clip_and_compact(fv_clip, fa, cap)
-        face_verts = screen_from_clip(fv_c, height, width)
+        face_verts, fa_c, orig_id, clip_ovf = clip_compact_screen(
+            fv_clip, fa, cap, height, width
+        )
         if config.streaming is None:
             config = config._replace(
                 streaming=num_faces > STREAMING_FACES

@@ -230,3 +230,40 @@ def test_clip_interior_gradient_matches_fd():
             assert np.sign(fd) == np.sign(an), (i, j, fd, an)
             if magnitude:
                 assert abs(an - fd) / (abs(fd) + 1e-6) < 0.5, (i, j, fd, an)
+
+
+def test_clip_compact_screen_matches_unfused():
+    """clip_compact_screen == screen_from_clip(clip_and_compact(...))."""
+    from dirt_tpu.ops.clipping import clip_and_compact, clip_compact_screen
+    from dirt_tpu.ops.triangle_setup import screen_from_clip
+
+    rng = np.random.RandomState(11)
+    fv = jnp.asarray(rng.randn(40, 3, 4).astype(np.float32))
+    # Mix of crossing / in-front / behind faces: push z around.
+    fv = fv.at[..., 3].set(jnp.abs(fv[..., 3]) + 0.2)
+    fv = fv.at[..., 2].add(-0.5)
+    fa = jnp.asarray(rng.rand(40, 3, 3).astype(np.float32))
+    cap = 16
+    v1, a1, id1, ov1 = clip_and_compact(fv, fa, cap)
+    v1s = screen_from_clip(v1, 64, 128)
+    v2, a2, id2, ov2 = clip_compact_screen(fv, fa, cap, 64, 128)
+    np.testing.assert_allclose(np.asarray(v1s), np.asarray(v2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(id1), np.asarray(id2))
+    assert bool(ov1) == bool(ov2)
+
+    # Gradients flow identically through both formulations.
+    def loss_fused(fv_):
+        v, a, _, _ = clip_compact_screen(fv_, fa, cap, 64, 128)
+        return jnp.sum(v * v) + jnp.sum(a * a)
+
+    def loss_unfused(fv_):
+        v, a, _, _ = clip_and_compact(fv_, fa, cap)
+        vs = screen_from_clip(v, 64, 128)
+        return jnp.sum(vs * vs) + jnp.sum(a * a)
+
+    g1 = jax.grad(loss_unfused)(fv)
+    g2 = jax.grad(loss_fused)(fv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-5)

@@ -141,3 +141,96 @@ def test_packed_rank_order_is_face_ascending():
     pb, nf, total, strips = _run_case(boxes, 32, 128)
     got = _decode(pb, nf, total, strips)
     assert got[(0, 0, 0)] == [0, 1, 2, 3, 4]
+
+
+@pytest.mark.slow
+def test_pair_rows_inverse_of_entries():
+    """pair_rows[f, e] = r implies entries[r] holds face f, and the valid
+    backpointers hit every real-face budget row exactly once (exact
+    bijection on an overflow-free scene)."""
+    rng = np.random.RandomState(7)
+    height, width = 64, 256
+    boxes = []
+    for _ in range(150):
+        x0 = rng.randint(0, width)
+        y0 = rng.randint(0, height)
+        boxes.append([x0, min(x0 + rng.randint(0, 40), width - 1),
+                      y0, min(y0 + rng.randint(0, 30), height - 1)])
+    boxes.append([0, -1, 0, -1])
+    # Explicit budget/expand such that the F * E <= 2 * budget_rows gate
+    # keeps the backpointers on.
+    pb, nf, total, strips = _run_case(
+        boxes, height, width, budget=1024, expand=32
+    )
+    assert not bool(pb.overflow)
+    assert pb.pair_rows is not None
+    entries = np.asarray(pb.entries)
+    pr = np.asarray(pb.pair_rows)
+    budget_rows = entries.shape[0]
+    assert pr.shape[0] == nf
+    valid = pr < budget_rows
+    rows = pr[valid]
+    # Each backpointed row holds the face that points at it.
+    faces_of_rows = entries[rows] // 8
+    want_faces = np.broadcast_to(
+        np.arange(nf)[:, None], pr.shape)[valid]
+    np.testing.assert_array_equal(faces_of_rows, want_faces)
+    # Bijection: no two pairs share a row, and every real-face entry row
+    # is covered.
+    assert len(set(rows.tolist())) == len(rows)
+    real_rows = np.nonzero(entries // 8 < nf)[0]
+    assert set(rows.tolist()) == set(real_rows.tolist())
+
+
+@pytest.mark.slow
+def test_pair_rows_truncation_points_to_sentinel():
+    # Budget overflow: truncated pairs must resolve to the sentinel row,
+    # never to another face's slot.
+    boxes = [[0, 7, 0, 7]] * 200
+    pb, nf, total, strips = _run_case(
+        boxes, 64, 128, budget=2 * PACK_ITERS, expand=8)
+    assert bool(pb.overflow)
+    assert pb.pair_rows is not None
+    entries = np.asarray(pb.entries)
+    pr = np.asarray(pb.pair_rows)
+    budget_rows = entries.shape[0]
+    valid = pr < budget_rows
+    faces_of_rows = entries[pr[valid]] // 8
+    want = np.broadcast_to(np.arange(nf)[:, None], pr.shape)[valid]
+    np.testing.assert_array_equal(faces_of_rows, want)
+
+
+def test_count_packed_exact_silences_overflow():
+    """suggest_config's packed counting (count_packed_exact) must produce
+    caps under which bin_faces_packed never flags, even for scenes the
+    auto heuristics truncate (big faces spanning many subtiles)."""
+    from dirt_tpu.ops.raster import count_packed_exact
+
+    rng = np.random.RandomState(5)
+    height, width = 128, 256
+    boxes = []
+    for _ in range(120):   # small faces
+        x0 = rng.randint(0, width)
+        y0 = rng.randint(0, height)
+        boxes.append([x0, min(x0 + rng.randint(0, 20), width - 1),
+                      y0, min(y0 + rng.randint(0, 14), height - 1)])
+    for _ in range(10):    # big faces: span dozens of subtiles
+        boxes.append([4, width - 5, 8, height - 9])
+    bbox = np.asarray(boxes, np.int32)
+    tile_h, tile_w = 32, 128
+
+    # Auto caps flag on this scene (that's the scenario under test).
+    auto_expand = binning.auto_packed_expand(len(boxes), 1)
+    exp, bud = count_packed_exact(
+        jnp.asarray(bbox), height, width, tile_h, tile_w)
+    assert exp > auto_expand
+    cols = tuple(jnp.asarray(bbox[:, k]) for k in range(4))
+    pb = bin_faces_packed(cols, height, width, tile_h, tile_w, bud, exp)
+    assert not bool(pb.overflow)
+
+    # And the binning is complete: every brute-force job is present.
+    tiles_y, tiles_x, strips, groups = packed_grid(
+        height, width, tile_h, tile_w)
+    got = _decode(pb, len(boxes), tiles_y * tiles_x, strips)
+    want = _brute_jobs(bbox, height, width, tile_h, tile_w)
+    assert got == want

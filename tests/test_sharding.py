@@ -267,8 +267,12 @@ def test_dcn_tiles_two_level_mesh_matches_single_device():
             bg, verts, colors, faces, mesh, axis=("dcn", "tiles"),
             config=CFG,
         )
+    # Slabs evaluate plane equations at slab-local row offsets (y - y0),
+    # which rounds differently from the single-device global-y evaluation
+    # — covered pixels agree to f32 interpolation noise, not bit-exactly
+    # (observed max ~1.3e-6 on 3/49k pixels).
     np.testing.assert_allclose(np.asarray(out), np.asarray(single),
-                               atol=1e-6)
+                               atol=5e-6)
 
     target = jnp.zeros_like(bg)
 
