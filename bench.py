@@ -88,9 +88,31 @@ def build(size):
     return clip, colors, jnp.asarray(faces), bg, weights, len(verts_obj)
 
 
+def honest_config(clip_verts, colors, faces, size):
+    """Count-then-allocate caps that render the scene with NO truncation.
+
+    The round-3 audit found the auto heuristics' expand cap silently (but
+    flagged) truncating ~18% of covered pixels on this very scene at
+    1024^2 — every number in this series is only meaningful if the render
+    is complete, so the bench measures exact-cap configs and ASSERTS the
+    overflow flag is clear.
+    """
+    from dirt_tpu.ops.raster import suggest_config
+    from dirt_tpu.ops.triangle_setup import screen_from_clip
+
+    fv = screen_from_clip(clip_verts, size, size)[faces]
+    config = suggest_config(fv, size, size)
+    _, _, _, overflow = dirt_tpu.rasterise_with_aux(
+        jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors,
+        faces, config=config, clip=False,
+    )
+    assert not bool(overflow), "bench scene must render untruncated"
+    return config
+
+
 def bench_size(size, config=None):
-    config = config or RasterConfig()
     clip, colors, faces, bg, weights, _ = build(size)
+    config = config or honest_config(clip, colors, faces, size)
 
     # clip=False keeps the tracked series measurement-compatible with
     # rounds 0-1 (near-plane clipping landed in round 2 and doubles the
@@ -137,11 +159,15 @@ def bench_streaming_100k(size=1024):
     bg = jnp.zeros((size, size, 3), jnp.float32)
     faces = jnp.asarray(faces)
     config = RasterConfig()
+    _, _, _, overflow = dirt_tpu.rasterise_with_aux(
+        bg, clip, colors, faces, config=config, clip=False
+    )
+    assert not bool(overflow), "100k bench scene must render untruncated"
     t = device_time(
         lambda c, co, b: dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False
         ),
-        (clip, colors, bg), r1=1, r2=6, samples=2,
+        (clip, colors, bg), r1=2, r2=8, samples=3,
     )
     return faces.shape[0], t
 
@@ -149,14 +175,15 @@ def bench_streaming_100k(size=1024):
 def bench_clip_path(size=1024):
     """GL-parity path (near-plane clipping on, the public default)."""
     clip, colors, faces, bg, weights, _ = build(size)
+    config = honest_config(clip, colors, faces, size)
 
     def loss(c, co, b):
-        img = dirt_tpu.rasterise(b, c, co, faces)
+        img = dirt_tpu.rasterise(b, c, co, faces, config=config)
         return jnp.sum(img * weights)
 
     t = device_time(
         jax.grad(loss, argnums=(0, 1, 2)), (clip, colors, bg),
-        r1=1, r2=6, samples=2,
+        r1=2, r2=12, samples=3,
     )
     return t
 

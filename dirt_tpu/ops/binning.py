@@ -39,6 +39,8 @@ ITERS_PER_CHUNK = CHUNK // GROUPS  # 16 iterations per 128-row CSR chunk
 # so 16-iteration chunks would burn ~1 ms at 1024^2. 64 iterations per
 # chunk amortizes that 4x at the cost of more per-tile padding rows.
 PACK_CHUNK = 512
+POOL_ALIGN = 4    # pool slots per per-face run block (padding vs
+                  # backward block-gather width tradeoff)
 PACK_ITERS = PACK_CHUNK // GROUPS  # 64 iterations per packed chunk
 
 
@@ -300,17 +302,24 @@ class PackedBins(NamedTuple):
     iter_off: jax.Array     # [num_tiles * strips] int32: first iteration
                             # (tile-local) of each strip's contiguous run
     strip_iters: jax.Array  # [num_tiles * strips] int32: run length
-    # [F, E] int32, or None: budget-row index holding face f's e-th
-    # (face, subtile) pair — the exact INVERSE of the entries gather, so
-    # the backward can reduce per-entry cotangent rows to faces with one
-    # row GATHER + a dense sum over E instead of an XLA scatter-add
-    # (segment_sum cost ~9 ns/row: 1.08 ms at 1024^2/10k faces — the
-    # single largest backward piece, round-3 profile). Missing/truncated
-    # pairs hold the sentinel ``budget_rows`` (a zero row in the padded
-    # cotangent table). None when F * E would out-size the scatter it
-    # replaces (huge explicit expand caps) — the backward then falls back
-    # to segment_sum.
+    # [pool_cap] int32, or None: budget-row index holding the candidate
+    # at each pool slot — the exact INVERSE of the entries gather, so the
+    # backward can reduce per-entry cotangent rows to faces with row
+    # GATHERS + dense sums instead of an XLA scatter-add (segment_sum
+    # costs ~9 ns/row: 1.08 ms at 1024^2/10k faces — the single largest
+    # backward piece, round-3 profile). Pool slots are 8-aligned
+    # per-face runs (see the flat-pool construction in bin_faces_packed);
+    # missing/filtered/truncated candidates hold the sentinel
+    # ``budget_rows`` (a zero row in the padded cotangent table). None
+    # when the pool would out-size the scatter it replaces — the
+    # backward then falls back to segment_sum.
     pair_rows: jax.Array | None = None
+    # [F + 1] int32, or None: POOL_ALIGN-slot-block offsets of each
+    # face's pool run (pool_offs[f] * POOL_ALIGN is face f's first
+    # slot; pool_offs[F] the total). The backward reduces pool rows in
+    # POOL_ALIGN-row blocks, then gathers each face's
+    # <= ceil(expand_cap/POOL_ALIGN) blocks.
+    pool_offs: jax.Array | None = None
 
 
 def packed_grid(height: int, width: int, tile_h: int, tile_w: int):
@@ -380,9 +389,22 @@ def auto_packed_expand(num_faces: int, nsid: int) -> int:
     return min(cap, max(nsid, 32))
 
 
+def auto_pool_cap(num_faces: int, expand_cap: int) -> int:
+    """Default flat-pool slot budget for :func:`bin_faces_packed`.
+
+    Capacity for ~8 slots/face mean (covers dense-mesh spans after
+    POOL_ALIGN padding), floored for tiny meshes and never more than
+    every face at its full expand cap. Overflow is flagged;
+    ``suggest_config`` measures the exact requirement.
+    """
+    cap = min(num_faces * expand_cap, max(8 * num_faces, 32768))
+    return -(-cap // POOL_ALIGN) * POOL_ALIGN
+
+
 def bin_faces_packed(
     bbox, height: int, width: int, tile_h: int, tile_w: int,
     budget_iters: int, expand_cap: int,
+    edges=None, pool_cap: int | None = None,
 ) -> PackedBins:
     """Lane-packed subtile binning (see :class:`PackedBins`).
 
@@ -390,8 +412,12 @@ def bin_faces_packed(
     ~1.3 ns/element; scatters cost ~6.6 ns/update; NSID-wide searchsorted
     is 10x slower than a sort):
 
-    1. expand faces into (subtile sid, face) pairs, capped at
-       ``expand_cap`` jobs per face (overflow-flagged beyond);
+    1. enumerate (subtile sid, face) candidates into a FLAT POOL of
+       8-aligned per-face runs (cost scales with actual jobs, not
+       F * worst-case span), capped at ``expand_cap`` jobs per face and
+       ``pool_cap`` total slots (both overflow-flagged); with ``edges``
+       given, bbox candidates failing the exact triangle-vs-subtile
+       overlap test are dropped here;
     2. ONE merged sort of pairs + one header record per sid — headers
        (face = -1) sort to the front of each sid run;
     3. run lengths (= per-subtile counts) read off at run ends, compacted
@@ -424,7 +450,16 @@ def bin_faces_packed(
         "packed budget must give every tile an init chunk"
     )
 
-    # --- 1. pair expansion --------------------------------------------
+    # --- 1. candidate pool (flat, 8-aligned per-face runs) -------------
+    # Candidates used to live in a uniform [F, expand_cap] grid, which
+    # priced EVERY face at the worst face's span: honest (untruncated)
+    # caps on the 10k-face 1024^2 bench scene need expand = 25 and made
+    # binning 4.3 ms, 2.8x the (truncating) expand = 8 run. The pool
+    # instead gives face f a POOL_ALIGN-aligned run of its own n_jobs
+    # slots at a cumsum offset, so total work scales with ACTUAL jobs.
+    # Slot -> face resolves by a start-marker scatter (F updates) +
+    # cummax, and per-face fields arrive via ONE [pool, 8/16]-wide row
+    # gather.
     valid = (bxmax >= bxmin) & (bymax >= bymin)
     gxmin = jnp.clip(bxmin // SUB_W, 0, gx_max_all)
     gxmax = jnp.clip(bxmax // SUB_W, 0, gx_max_all)
@@ -434,40 +469,86 @@ def bin_faces_packed(
     span_y = jnp.where(valid, gymax - gymin + 1, 0)
     n_jobs = span_x * span_y
     face_overflow = valid & (n_jobs > expand_cap)
+    njobs_c = jnp.minimum(n_jobs, expand_cap)
 
-    e = jnp.arange(expand_cap, dtype=jnp.int32)[None, :]        # [1, E]
-    sx = jnp.maximum(span_x, 1)[:, None]
+    if pool_cap is None:
+        pool_cap = auto_pool_cap(nf, expand_cap)
+    al = POOL_ALIGN
+    pool_cap = max(-(-pool_cap // al) * al, al)
+    pool_blocks = pool_cap // al
+
+    blocks = -(-njobs_c // al)                       # [F], slot blocks
+    boff = jnp.cumsum(blocks) - blocks               # exclusive, blocks
+    pool_overflow = jnp.sum(blocks) > pool_blocks
+
+    start_ok = (blocks > 0) & (boff < pool_blocks)
+    fidx = jnp.arange(nf, dtype=jnp.int32)
+    slot0 = jnp.where(start_ok, boff * al, pool_cap).astype(jnp.int32)
+    neg_pool = jnp.full((pool_cap,), -1, jnp.int32)
+    face_of = jax.lax.cummax(neg_pool.at[slot0].set(fidx, mode="drop"))
+    s0_of = jax.lax.cummax(neg_pool.at[slot0].set(slot0, mode="drop"))
+
+    # Per-face fields, one row gather (ints are exact in f32 < 2^24).
+    ftbl_cols = [
+        gxmin.astype(jnp.float32), gymin.astype(jnp.float32),
+        jnp.maximum(span_x, 1).astype(jnp.float32),
+        njobs_c.astype(jnp.float32),
+    ]
+    if edges is not None:
+        ftbl_cols += [jnp.asarray(c, jnp.float32) for c in edges]
+    pad_cols = (-len(ftbl_cols)) % 8
+    ftbl = jnp.stack(
+        ftbl_cols + [jnp.zeros((nf,), jnp.float32)] * pad_cols, axis=1
+    )
+    frow = ftbl[jnp.clip(face_of, 0, nf - 1)]        # [pool_cap, 8/16]
+
+    p_iota = jnp.arange(pool_cap, dtype=jnp.int32)
+    e = p_iota - s0_of                               # candidate rank
+    sx = jnp.maximum(frow[:, 2].astype(jnp.int32), 1)
     ey = e // sx
     ex = e - ey * sx
-    gy = gymin[:, None] + ey
-    gx = gxmin[:, None] + ex
+    gy = frow[:, 1].astype(jnp.int32) + ey
+    gx = frow[:, 0].astype(jnp.int32) + ex
+    pair_ok = (face_of >= 0) & (e < frow[:, 3].astype(jnp.int32))
+    if edges is not None:
+        # Exact conservative triangle-vs-subtile overlap test: drop bbox
+        # candidates whose 8x16 pixel-center rect lies more than half a
+        # pixel outside any edge half-plane (same anchored edge planes
+        # the kernels test — triangle_setup.edge_filter_cols). False
+        # acceptance only costs kernel time; the half-pixel slack makes
+        # false rejection impossible under f32 rounding. Cuts the
+        # silhouette-heavy tail of bbox jobs (~1/3 on the bench sphere).
+        rx0 = gx.astype(jnp.float32) * SUB_W + 0.5 - frow[:, 4]
+        ry0 = gy.astype(jnp.float32) * SUB_H + 0.5 - frow[:, 5]
+        keep = pair_ok
+        for k in range(3):
+            a = frow[:, 6 + 2 * k]
+            b = frow[:, 7 + 2 * k]
+            c = frow[:, 12] if k == 0 else 0.0
+            emax = (a * rx0 + b * ry0 + c
+                    + jnp.maximum(a, 0.0) * (SUB_W - 1)
+                    + jnp.maximum(b, 0.0) * (SUB_H - 1))
+            slack = 0.5 * jnp.sqrt(a * a + b * b)
+            keep = keep & (emax >= -slack)
+        pair_ok = keep
     t_id = (gy // strips) * tiles_x + gx // groups
-    sid = ((t_id * strips + gy % strips) * groups + gx % groups)
-    pair_ok = e < jnp.minimum(n_jobs, expand_cap)[:, None]
-    sid = jnp.where(pair_ok, sid, nsid).astype(jnp.int32)       # [F, E]
-    face = jnp.broadcast_to(
-        jnp.arange(nf, dtype=jnp.int32)[:, None], sid.shape
-    )
+    sid_p = jnp.where(
+        pair_ok,
+        (t_id * strips + gy % strips) * groups + gx % groups,
+        nsid,
+    ).astype(jnp.int32)
+    face_p = jnp.maximum(face_of, 0)
 
-    # --- 2. merged sort #1: pairs + headers (no payload yet) ----------
+    # --- 2. merged sort #1: pairs + headers ----------------------------
     hdr_sid = jnp.arange(nsid, dtype=jnp.int32)
     hdr_face = jnp.full((nsid,), -1, jnp.int32)
-    sid_all = jnp.concatenate([sid.reshape(-1), hdr_sid])
-    face_all = jnp.concatenate([face.reshape(-1), hdr_face])
-    # Backward pair backpointers ride the same sort as a payload: q is the
-    # face-major pair index f * E + e (every (f, e) slot present exactly
-    # once — invalid pairs keep their q and later resolve to the sentinel
-    # row), headers sort-stable at q >= F * E. Gated off when F * E would
-    # out-size the segment_sum it replaces (see PackedBins.pair_rows).
-    want_pair_rows = (
-        nf * expand_cap <= 2 * budget_rows
-        and nf * expand_cap < 2**31 - nsid - 1
-    )
+    sid_all = jnp.concatenate([sid_p, hdr_sid])
+    face_all = jnp.concatenate([face_p, hdr_face])
+    # Backward pair backpointers ride the sort as a payload: q is the
+    # pool slot (face-major by construction), headers at q >= pool_cap.
+    want_pair_rows = pool_cap <= 4 * budget_rows
     if want_pair_rows:
-        q_all = jnp.concatenate([
-            (face * expand_cap + e).reshape(-1),
-            nf * expand_cap + hdr_sid,
-        ]).astype(jnp.int32)
+        q_all = jnp.concatenate([p_iota, pool_cap + hdr_sid])
         sid_s, face_s, q_s = jax.lax.sort(
             (sid_all, face_all, q_all), num_keys=2
         )
@@ -631,9 +712,13 @@ def bin_faces_packed(
             valid_p, j_p * GROUPS + sid_c % groups, budget_rows
         ).astype(jnp.int32)
         _, row_sorted = jax.lax.sort((q_s, row_val), num_keys=1)
-        pair_rows = row_sorted[:nf * expand_cap].reshape(nf, expand_cap)
+        pair_rows = row_sorted[:pool_cap]
+        pool_offs = jnp.concatenate(
+            [boff, jnp.sum(blocks, keepdims=True)]
+        ).astype(jnp.int32)
     else:
         pair_rows = None
+        pool_offs = None
 
     # --- chunk -> tile map via interval marks -------------------------
     cmarks = jnp.zeros((budget_chunks,), jnp.int32).at[
@@ -646,7 +731,11 @@ def bin_faces_packed(
     # Truncated jobs (rows past a tile's chunk allocation) are exactly the
     # tiles with n_iters_eff < tile_iters: a job of tile-local iteration i
     # fits iff i < chunks_eff * PACK_ITERS.
-    overflow = jnp.any(face_overflow) | jnp.any(n_iters_eff < tile_iters)
+    overflow = (
+        jnp.any(face_overflow)
+        | jnp.any(n_iters_eff < tile_iters)
+        | pool_overflow
+    )
     return PackedBins(
         entries=entries,
         chunk_tile=chunk_tile,
@@ -656,4 +745,5 @@ def bin_faces_packed(
         iter_off=iter_off.reshape(-1).astype(jnp.int32),
         strip_iters=n_iter.reshape(-1).astype(jnp.int32),
         pair_rows=pair_rows,
+        pool_offs=pool_offs,
     )

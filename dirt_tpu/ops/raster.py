@@ -75,11 +75,16 @@ class RasterConfig(NamedTuple):
     budget: int | None = None
     # Near-plane clipping slot budget: max SECONDARY sub-triangles kept by
     # the clip compaction (``ops.clipping.compact_clipped``). None = auto
-    # (max(F // 8, 64)); only faces actually crossing the near plane need
+    # (max(F // 32, 64)); only faces actually crossing the near plane need
     # a slot, so the raster array is F + clip_cap instead of 2F. Overflow
     # (more crossing faces than slots) is reported via the API's overflow
     # flag; ``suggest_raster_config`` measures the exact requirement.
     clip_cap: int | None = None
+    # Packed engine's flat candidate-pool size (total (face, subtile)
+    # slots after POOL_ALIGN run alignment). None = auto
+    # (binning.auto_pool_cap); overflow-flagged, measured exactly by
+    # ``suggest_config``.
+    pool_cap: int | None = None
 
     def concrete(self, height: int) -> "RasterConfig":
         """Resolve auto fields for a given image height.
@@ -197,8 +202,14 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
             num_faces, hp, wp, tile_h, tile_w, expand
         )
         with jax.named_scope("dirt_binning_packed"):
+            from dirt_tpu.ops.triangle_setup import edge_filter_cols
+
+            edges = jax.lax.stop_gradient(
+                edge_filter_cols(face_verts_screen)
+            )
             bins = binning.bin_faces_packed(
-                bbox, hp, wp, tile_h, tile_w, budget, expand
+                bbox, hp, wp, tile_h, tile_w, budget, expand,
+                edges=edges, pool_cap=config.pool_cap,
             )
         with jax.named_scope("dirt_raster_fwd_packed"):
             table2 = pack_face_table_v2(geo, att)
@@ -343,9 +354,20 @@ def _bwd(config, residuals, cotangents):
         if engine == "packed":
             from dirt_tpu.ops.packed_bwd import backward_packed
 
+            # bmax must mirror the forward's expand resolution (static).
+            hp = _pad_to(height, config.tile_h)
+            wp = _pad_to(width, config.tile_w)
+            _, _, strips, groups = binning.packed_grid(
+                hp, wp, config.tile_h, config.tile_w
+            )
+            n_tiles_p = (hp // config.tile_h) * (wp // config.tile_w)
+            expand = config.expand_cap or binning.auto_packed_expand(
+                num_faces, n_tiles_p * strips * groups
+            )
             d_geo, d_att, d_background = backward_packed(
                 geo, att, fid, zbuf, pixels, grad_pixels, bin_res,
                 num_faces, config.tile_h, config.tile_w,
+                bmax=-(-expand // binning.POOL_ALIGN),
             )
         elif use_streaming(config, num_faces):
             from dirt_tpu.ops.raster_bwd import backward_fused_csr
@@ -445,17 +467,19 @@ def suggest_config(
         kwargs["expand_cap"] = max(int(int(max_span) * margin), 1)
     if engine == "packed":
         # The packed engine's caps are SUBTILE-granular (8x16), not
-        # tile-granular: measure the exact per-face subtile span and the
+        # tile-granular: measure the exact per-face subtile span, the
         # exact iteration demand (per-strip group-max summed, with
-        # per-tile chunk-padding), so the auto heuristics' overflow flag
-        # can always be silenced by one count-then-allocate call. The
-        # round-3 audit found the auto expand cap (8) silently-flagged on
-        # the flagship 10k-face 1024^2 scene (true max span 24).
-        exp, bud = count_packed_exact(
+        # per-tile chunk-padding) and the exact candidate-pool size, so
+        # the auto heuristics' overflow flag can always be silenced by
+        # one count-then-allocate call. The round-3 audit found the auto
+        # expand cap (8) silently-flagged on the flagship 10k-face
+        # 1024^2 scene (true max span 24).
+        exp, bud, pool = count_packed_exact(
             bbox, height, width, config.tile_h, config.tile_w, margin
         )
         kwargs["expand_cap"] = exp
         kwargs["budget"] = bud
+        kwargs["pool_cap"] = pool
     return config._replace(**kwargs)
 
 
@@ -503,4 +527,9 @@ def count_packed_exact(bbox, height: int, width: int, tile_h: int,
         valid, (gxmax - gxmin + 1) * (gymax - gymin + 1), 0
     )
     expand = max(int(int(jnp.max(span)) * margin), 1)
-    return expand, budget
+    # Flat-pool demand: 8-aligned per-face runs (bbox candidates; the
+    # edge filter only shrinks run CONTENT, not slot counts).
+    al = binning.POOL_ALIGN
+    blocks = -(-jnp.minimum(span, expand) // al)
+    pool = int(int(jnp.sum(blocks)) * margin + 1) * al
+    return expand, budget, pool

@@ -178,6 +178,42 @@ def setup_planes(face_verts_screen, face_attrs):
     return geo, att, valid
 
 
+def edge_filter_cols(face_verts_screen):
+    """(x0, y0, a0, b0, a1, b1, a2, b2, c0) [F] columns for binning.
+
+    The same anchored edge planes :func:`setup_planes` packs into ``geo``
+    (kernels evaluate ``e_k = a_k (x - x0) + b_k (y - y0) + c_k``,
+    inside = all e_k >= 0), exposed as plain columns so
+    ``binning.bin_faces_packed`` can run its exact conservative
+    triangle-vs-subtile overlap filter without strided reads of the
+    packed [F, 24] table. c1 = c2 = 0 for valid faces (edges 1 and 2
+    pass through the anchor), so only c0 is returned; invalid faces get
+    all-exclude edges. Recomputed rather than unpacked — XLA CSEs the
+    shared subexpressions with setup_planes inside one jit graph.
+    """
+    fv = jnp.asarray(face_verts_screen, jnp.float32)
+    num_faces = fv.shape[0]
+    cols = fv.reshape(num_faces, 12).T
+    x0, y0, w0 = cols[0], cols[1], cols[3]
+    x1, y1, w1 = cols[4], cols[5], cols[7]
+    x2, y2, w2 = cols[8], cols[9], cols[11]
+    xs, ys = (x0, x1, x2), (y0, y1, y2)
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    orient = jnp.where(area2 >= 0.0, 1.0, -1.0)
+    valid = (jnp.abs(area2) > AREA_EPS) & (w0 > 0.0) & (w1 > 0.0) \
+        & (w2 > 0.0)
+    a_e = [
+        jnp.where(valid, orient * (ys[(j + 1) % 3] - ys[(j + 2) % 3]), 0.0)
+        for j in range(3)
+    ]
+    b_e = [
+        jnp.where(valid, orient * (xs[(j + 2) % 3] - xs[(j + 1) % 3]), 0.0)
+        for j in range(3)
+    ]
+    c0 = jnp.where(valid, orient * area2, -1.0)
+    return (x0, y0, a_e[0], b_e[0], a_e[1], b_e[1], a_e[2], b_e[2], c0)
+
+
 def face_bbox_cols(face_verts_screen, valid, height: int, width: int):
     """Conservative pixel-index bounding boxes for binning (non-diff).
 

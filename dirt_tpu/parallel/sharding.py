@@ -183,10 +183,20 @@ def _make_slab_op(config: RasterConfig, axis: str, total_height: int):
             (geo, att), vjp_fn = jax.vjp(
                 planes, face_verts_local, face_attrs
             )
+            from dirt_tpu.ops import binning as _binning
+
+            _, _, strips_p, groups_p = _binning.packed_grid(
+                hp, wp, config.tile_h, config.tile_w
+            )
+            nsid_p = (hp // config.tile_h) * (wp // config.tile_w) \
+                * strips_p * groups_p
+            expand_p = config.expand_cap or _binning.auto_packed_expand(
+                face_verts_local.shape[0], nsid_p
+            )
             d_geo, d_att, d_bg = backward_packed(
                 geo, att, fid, zbuf, pixels, grad_pixels, bin_res,
                 face_verts_local.shape[0], config.tile_h, config.tile_w,
-                nbrs=nbrs4,
+                nbrs=nbrs4, bmax=-(-expand_p // _binning.POOL_ALIGN),
             )
             d_fv, d_fa = vjp_fn((d_geo, d_att))
             return (

@@ -165,18 +165,21 @@ def test_pair_rows_inverse_of_entries():
     assert not bool(pb.overflow)
     assert pb.pair_rows is not None
     entries = np.asarray(pb.entries)
-    pr = np.asarray(pb.pair_rows)
+    pr = np.asarray(pb.pair_rows)            # [pool_cap] flat
+    offs = np.asarray(pb.pool_offs)          # [F + 1] block offsets
     budget_rows = entries.shape[0]
-    assert pr.shape[0] == nf
+    # Face of each pool slot from the 8-aligned run structure.
+    al = binning.POOL_ALIGN
+    slot_face = np.full(pr.shape[0], -1, np.int64)
+    for f in range(nf):
+        slot_face[offs[f] * al:offs[f + 1] * al] = f
     valid = pr < budget_rows
     rows = pr[valid]
-    # Each backpointed row holds the face that points at it.
+    # Each backpointed row holds the face whose run points at it.
     faces_of_rows = entries[rows] // 8
-    want_faces = np.broadcast_to(
-        np.arange(nf)[:, None], pr.shape)[valid]
-    np.testing.assert_array_equal(faces_of_rows, want_faces)
-    # Bijection: no two pairs share a row, and every real-face entry row
-    # is covered.
+    np.testing.assert_array_equal(faces_of_rows, slot_face[valid])
+    # Bijection: no two pool slots share a row, and every real-face
+    # entry row is covered.
     assert len(set(rows.tolist())) == len(rows)
     real_rows = np.nonzero(entries // 8 < nf)[0]
     assert set(rows.tolist()) == set(real_rows.tolist())
@@ -193,11 +196,15 @@ def test_pair_rows_truncation_points_to_sentinel():
     assert pb.pair_rows is not None
     entries = np.asarray(pb.entries)
     pr = np.asarray(pb.pair_rows)
+    offs = np.asarray(pb.pool_offs)
     budget_rows = entries.shape[0]
+    al = binning.POOL_ALIGN
+    slot_face = np.full(pr.shape[0], -1, np.int64)
+    for f in range(nf):
+        slot_face[offs[f] * al:offs[f + 1] * al] = f
     valid = pr < budget_rows
     faces_of_rows = entries[pr[valid]] // 8
-    want = np.broadcast_to(np.arange(nf)[:, None], pr.shape)[valid]
-    np.testing.assert_array_equal(faces_of_rows, want)
+    np.testing.assert_array_equal(faces_of_rows, slot_face[valid])
 
 
 def test_count_packed_exact_silences_overflow():
@@ -221,11 +228,12 @@ def test_count_packed_exact_silences_overflow():
 
     # Auto caps flag on this scene (that's the scenario under test).
     auto_expand = binning.auto_packed_expand(len(boxes), 1)
-    exp, bud = count_packed_exact(
+    exp, bud, pool = count_packed_exact(
         jnp.asarray(bbox), height, width, tile_h, tile_w)
     assert exp > auto_expand
     cols = tuple(jnp.asarray(bbox[:, k]) for k in range(4))
-    pb = bin_faces_packed(cols, height, width, tile_h, tile_w, bud, exp)
+    pb = bin_faces_packed(cols, height, width, tile_h, tile_w, bud, exp,
+                          pool_cap=pool)
     assert not bool(pb.overflow)
 
     # And the binning is complete: every brute-force job is present.
@@ -234,3 +242,66 @@ def test_count_packed_exact_silences_overflow():
     got = _decode(pb, len(boxes), tiles_y * tiles_x, strips)
     want = _brute_jobs(bbox, height, width, tile_h, tile_w)
     assert got == want
+
+
+def test_edge_filter_never_drops_visible_subtiles():
+    """The exact triangle-vs-subtile filter may only drop candidates
+    whose subtile the triangle cannot touch: every subtile containing a
+    brute-force-covered pixel center must stay binned."""
+    from dirt_tpu.ops.triangle_setup import (
+        edge_filter_cols, face_bbox_cols, setup_planes,
+    )
+
+    rng = np.random.RandomState(9)
+    height, width = 64, 256
+    nf = 40
+    fv = np.zeros((nf, 3, 4), np.float32)
+    fv[..., 0] = rng.uniform(-10, width + 10, (nf, 3))
+    fv[..., 1] = rng.uniform(-10, height + 10, (nf, 3))
+    fv[..., 2] = rng.uniform(-0.5, 0.5, (nf, 3))
+    fv[..., 3] = 1.0  # invw
+    fv = jnp.asarray(fv)
+    attrs = jnp.zeros((nf, 3, 1), jnp.float32)
+    geo, att, valid = setup_planes(fv, attrs)
+    bbox = face_bbox_cols(fv, valid, height, width)
+    edges = edge_filter_cols(fv)
+    tile_h, tile_w = 32, 128
+    # Faces span up to the whole 16x8-subtile grid: explicit generous
+    # caps so neither run flags (the filter is what is under test).
+    budget, expand = 4096, 160
+    pb_f = bin_faces_packed(bbox, height, width, tile_h, tile_w,
+                            budget, expand, edges=edges)
+    pb_n = bin_faces_packed(bbox, height, width, tile_h, tile_w,
+                            budget, expand)
+    assert not bool(pb_f.overflow) and not bool(pb_n.overflow)
+    tiles_y, tiles_x, strips, groups = packed_grid(
+        height, width, tile_h, tile_w)
+    got_f = _decode(pb_f, nf, tiles_y * tiles_x, strips)
+    got_n = _decode(pb_n, nf, tiles_y * tiles_x, strips)
+    # Filtered jobs are a subset of bbox jobs.
+    for key, faces_list in got_f.items():
+        assert set(faces_list) <= set(got_n.get(key, []))
+    # Brute-force pixel coverage: edge functions at pixel centers.
+    geo_np = np.asarray(geo)
+    x0, y0 = geo_np[:, 0], geo_np[:, 1]
+    xs = np.arange(width) + 0.5
+    ys = np.arange(height) + 0.5
+    dx = xs[None, None, :] - x0[:, None, None]
+    dy = ys[None, :, None] - y0[:, None, None]
+    covered_any = np.zeros((nf, height, width), bool)
+    for f in range(nf):
+        e_ok = np.ones((height, width), bool)
+        for k in range(3):
+            a, b, c = geo_np[f, 2 + 3 * k:5 + 3 * k]
+            e_ok &= (a * dx[f] + b * dy[f] + c) >= 0
+        covered_any[f] = e_ok
+    missing = []
+    for f in range(nf):
+        ys_c, xs_c = np.nonzero(covered_any[f])
+        for y, x in zip(ys_c, xs_c):
+            gy, gx = y // 8, x // 16
+            t = (gy // strips) * tiles_x + gx // groups
+            key = (t, gy % strips, gx % groups)
+            if f not in got_f.get(key, []):
+                missing.append((f, y, x))
+    assert not missing, missing[:10]
