@@ -158,11 +158,10 @@ def bench_streaming_100k(size=1024):
     )
     bg = jnp.zeros((size, size, 3), jnp.float32)
     faces = jnp.asarray(faces)
-    config = RasterConfig()
-    _, _, _, overflow = dirt_tpu.rasterise_with_aux(
-        bg, clip, colors, faces, config=config, clip=False
-    )
-    assert not bool(overflow), "100k bench scene must render untruncated"
+    # NOTE: auto resolves this 100k-face scene to the PACKED engine (the
+    # round-2 auto switch) — the "streaming/CSR" label is historical.
+    # Honest caps, same as the tracked scenes.
+    config = honest_config(clip, colors, faces, size)
     t = device_time(
         lambda c, co, b: dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False

@@ -72,7 +72,19 @@ def make_render(faces, uvs, texture, projection, config):
 def main():
     os.makedirs(OUT, exist_ok=True)
     verts_obj, faces, uvs, texture, projection = build_scene()
-    config = RasterConfig()
+    # Count-then-allocate caps: the auto heuristics flag (and truncate)
+    # this 10k-face mesh's silhouette spans at 1024^2 (round-3 audit).
+    import dirt_tpu as _dirt
+    from dirt_tpu.core import matrices as _mat
+
+    mv0 = _mat.compose(
+        _mat.rodrigues(jnp.array([0.4, 0.3, 0.0])),
+        _mat.translation(jnp.array([0.0, 0.0, -3.0])),
+    )
+    clip0 = _mat.transform_homogeneous(
+        jnp.asarray(verts_obj), _mat.compose(mv0, projection)
+    )
+    config = _dirt.suggest_raster_config(clip0, faces, SIZE, SIZE)
     render = jax.jit(make_render(faces, uvs, texture, projection, config))
 
     true_pose = jnp.array([0.4, 0.3, 0.0])

@@ -475,7 +475,8 @@ def suggest_config(
         # expand cap (8) silently-flagged on the flagship 10k-face
         # 1024^2 scene (true max span 24).
         exp, bud, pool = count_packed_exact(
-            bbox, height, width, config.tile_h, config.tile_w, margin
+            bbox, height, width, config.tile_h, config.tile_w, margin,
+            face_verts_screen=face_verts_screen,
         )
         kwargs["expand_cap"] = exp
         kwargs["budget"] = bud
@@ -484,17 +485,29 @@ def suggest_config(
 
 
 def count_packed_exact(bbox, height: int, width: int, tile_h: int,
-                       tile_w: int, margin: float = 1.25):
-    """Exact (expand_cap, budget) for the packed engine, O(F + subtiles).
+                       tile_w: int, margin: float = 1.25,
+                       face_verts_screen=None):
+    """Exact (expand_cap, budget, pool_cap) for the packed engine.
 
-    Counting half of count-then-allocate at subtile granularity: 2D
-    inclusion-exclusion over the 8x16 subtile grid gives per-subtile face
-    counts; per-(tile, strip) iteration demand is the max over the
-    strip's 8 lane groups; the budget is the sum of per-tile demands
-    rounded up to whole PACK_CHUNK chunks (each tile owns at least its
-    init chunk, mirroring ``bin_faces_packed``'s layout). Host-
-    synchronizing — call outside jit.
+    Counting half of count-then-allocate at subtile granularity.
+    Without geometry, per-subtile face counts come from 2D
+    inclusion-exclusion over the bbox ranges (O(F + subtiles)). With
+    ``face_verts_screen`` given, candidates are enumerated and run
+    through the SAME edge-overlap filter the binning applies
+    (``triangle_setup.edge_filter_cols`` + half-pixel slack), so the
+    budget reflects the iterations the kernels actually execute — on
+    the 1024^2 bench sphere the filter drops ~1/3 of bbox candidates,
+    and a bbox-counted budget would oversize every budget-proportional
+    backward cost by the same fraction. Per-(tile, strip) iteration
+    demand is the max over the strip's 8 lane groups; the budget is the
+    sum of per-tile demands rounded up to whole PACK_CHUNK chunks (each
+    tile owns at least its init chunk, mirroring ``bin_faces_packed``).
+    expand_cap / pool_cap stay bbox-based (the pool enumerates bbox
+    candidates; filtering empties slots, it does not remove them).
+    Host-synchronizing numpy — call outside jit.
     """
+    import numpy as np
+
     hp = _pad_to(height, tile_h)
     wp = _pad_to(width, tile_w)
     tiles_y, tiles_x, strips, groups = binning.packed_grid(
@@ -502,34 +515,54 @@ def count_packed_exact(bbox, height: int, width: int, tile_h: int,
     )
     gy_n = tiles_y * strips
     gx_n = tiles_x * groups
-    bbox = jnp.asarray(bbox, jnp.int32)
-    gxmin = jnp.clip(bbox[:, 0] // binning.SUB_W, 0, gx_n - 1)
-    gxmax = jnp.clip(bbox[:, 1] // binning.SUB_W, 0, gx_n - 1)
-    gymin = jnp.clip(bbox[:, 2] // binning.SUB_H, 0, gy_n - 1)
-    gymax = jnp.clip(bbox[:, 3] // binning.SUB_H, 0, gy_n - 1)
+    bbox = np.asarray(bbox, np.int32)
+    gxmin = np.clip(bbox[:, 0] // binning.SUB_W, 0, gx_n - 1)
+    gxmax = np.clip(bbox[:, 1] // binning.SUB_W, 0, gx_n - 1)
+    gymin = np.clip(bbox[:, 2] // binning.SUB_H, 0, gy_n - 1)
+    gymax = np.clip(bbox[:, 3] // binning.SUB_H, 0, gy_n - 1)
     valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
-    w = valid.astype(jnp.int32)
-    diff = jnp.zeros((gy_n + 1, gx_n + 1), jnp.int32)
-    diff = diff.at[gymin, gxmin].add(w)
-    diff = diff.at[gymin, gxmax + 1].add(-w)
-    diff = diff.at[gymax + 1, gxmin].add(-w)
-    diff = diff.at[gymax + 1, gxmax + 1].add(w)
-    counts = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:gy_n, :gx_n]
+    span_x = np.where(valid, gxmax - gxmin + 1, 0)
+    span_y = np.where(valid, gymax - gymin + 1, 0)
+    span = span_x * span_y
+    expand = max(int(span.max(initial=0) * margin), 1)
+    al = binning.POOL_ALIGN
+    blocks = -(-np.minimum(span, expand) // al)
+    pool = int(int(blocks.sum()) * margin + 1) * al
+
+    # Candidate enumeration [F, E] in numpy (host-side; E = true max).
+    e_max = max(int(span.max(initial=0)), 1)
+    e = np.arange(e_max, dtype=np.int64)[None, :]
+    sx = np.maximum(span_x, 1)[:, None]
+    ey = e // sx
+    ex = e - ey * sx
+    gy = gymin[:, None] + ey
+    gx = gxmin[:, None] + ex
+    ok = e < np.minimum(span, expand)[:, None]
+    if face_verts_screen is not None:
+        from dirt_tpu.ops.triangle_setup import edge_filter_cols
+
+        cols = [np.asarray(c) for c in edge_filter_cols(face_verts_screen)]
+        x0, y0, a0, b0, a1, b1, a2, b2, c0 = cols
+        rx0 = gx * binning.SUB_W + 0.5 - x0[:, None]
+        ry0 = gy * binning.SUB_H + 0.5 - y0[:, None]
+        for a, b, c in ((a0, b0, c0), (a1, b1, 0.0), (a2, b2, 0.0)):
+            av, bv = a[:, None], b[:, None]
+            emax = (av * rx0 + bv * ry0
+                    + (np.asarray(c)[:, None] if np.ndim(c) else c)
+                    + np.maximum(av, 0.0) * (binning.SUB_W - 1)
+                    + np.maximum(bv, 0.0) * (binning.SUB_H - 1))
+            slack = 0.5 * np.sqrt(av * av + bv * bv)
+            ok &= emax >= -slack
+    t_id = (gy // strips) * tiles_x + gx // groups
+    sid = (t_id * strips + gy % strips) * groups + gx % groups
+    nsid = tiles_y * tiles_x * strips * groups
+    counts = np.bincount(sid[ok].reshape(-1), minlength=nsid)
     counts = counts.reshape(tiles_y, strips, tiles_x, groups)
-    n_iter = jnp.max(counts, axis=3)                  # [ty, strips, tx]
-    tile_iters = jnp.sum(n_iter, axis=1)              # [ty, tx]
-    chunks = jnp.maximum(
-        -(-(tile_iters * margin).astype(jnp.int32) // binning.PACK_ITERS),
+    n_iter = counts.max(axis=3)                       # [ty, strips, tx]
+    tile_iters = n_iter.sum(axis=1)                   # [ty, tx]
+    chunks = np.maximum(
+        -(-(tile_iters * margin).astype(np.int64) // binning.PACK_ITERS),
         1,
     )
-    budget = int(jnp.sum(chunks)) * binning.PACK_ITERS
-    span = jnp.where(
-        valid, (gxmax - gxmin + 1) * (gymax - gymin + 1), 0
-    )
-    expand = max(int(int(jnp.max(span)) * margin), 1)
-    # Flat-pool demand: 8-aligned per-face runs (bbox candidates; the
-    # edge filter only shrinks run CONTENT, not slot counts).
-    al = binning.POOL_ALIGN
-    blocks = -(-jnp.minimum(span, expand) // al)
-    pool = int(int(jnp.sum(blocks)) * margin + 1) * al
+    budget = int(chunks.sum()) * binning.PACK_ITERS
     return expand, budget, pool

@@ -305,3 +305,32 @@ def test_edge_filter_never_drops_visible_subtiles():
             if f not in got_f.get(key, []):
                 missing.append((f, y, x))
     assert not missing, missing[:10]
+
+
+def test_filtered_count_matches_filtered_binning():
+    """count_packed_exact(face_verts_screen=...) budgets must silence the
+    overflow flag of an edge-FILTERED bin_faces_packed run."""
+    from dirt_tpu.ops.raster import count_packed_exact
+    from dirt_tpu.ops.triangle_setup import (
+        edge_filter_cols, face_bbox_cols, setup_planes,
+    )
+
+    rng = np.random.RandomState(3)
+    height, width = 64, 256
+    nf = 60
+    fv = np.zeros((nf, 3, 4), np.float32)
+    fv[..., 0] = rng.uniform(-20, width + 20, (nf, 3))
+    fv[..., 1] = rng.uniform(-20, height + 20, (nf, 3))
+    fv[..., 3] = 1.0
+    fv = jnp.asarray(fv)
+    _, _, valid = setup_planes(fv, jnp.zeros((nf, 3, 1), jnp.float32))
+    bbox = face_bbox_cols(fv, valid, height, width)
+    bbox4 = jnp.stack(bbox, axis=1)
+    tile_h, tile_w = 32, 128
+    exp, bud, pool = count_packed_exact(
+        bbox4, height, width, tile_h, tile_w, margin=1.0,
+        face_verts_screen=fv)
+    edges = edge_filter_cols(fv)
+    pb = bin_faces_packed(bbox, height, width, tile_h, tile_w, bud, exp,
+                          edges=edges, pool_cap=pool)
+    assert not bool(pb.overflow)
