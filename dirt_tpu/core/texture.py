@@ -1,23 +1,37 @@
-"""Differentiable texture sampling (pure JAX).
+"""Differentiable texture sampling (pure JAX + a TPU-shaped custom VJP).
 
 The reference does bilinear sampling in user TF code (``samples/textured.py``,
 reconstructed — SURVEY.md section 2.2) with manual gather + lerp; here it is
 a library function. Gradients flow both to the texture and to the UVs.
 
-TPU note: XLA's multi-dimensional gather (``texture[v, u]`` with 2D index
-arrays) lowers to a slow per-element path (~30 ms for 1M samples on v5e).
-Bilinear sampling instead packs the four corner texels per texel into one
-row table and does a SINGLE flat row-gather (~2 ms for 1M samples) — row
-gathers are the one fast gather shape on TPU.
+TPU notes:
+
+* Forward: XLA's multi-dimensional gather (``texture[v, u]`` with 2D index
+  arrays) lowers to a slow per-element path (~30 ms for 1M samples on v5e).
+  Bilinear sampling instead packs the four corner texels per texel into one
+  row table and does a SINGLE flat row-gather (~2 ms for 1M samples) — row
+  gathers are the one fast gather shape on TPU.
+
+* Backward: the autodiff transpose of that gather is an XLA scatter-add
+  (~6.6 ns/update on v5e → ~1.7 ms for a 512² sample grid), the dominant
+  cost of a textured gradient step (reference analogue: the TF
+  ``gather_nd`` transpose in ``samples/textured.py``). The custom VJP here
+  replaces it with sort-class primitives (~1.3 ns/element): sort samples by
+  texel id, inclusive row-cumsum via lower-triangular MXU matmuls, then the
+  per-texel sums are differences of the cumsum at run boundaries found with
+  one ``searchsorted`` — row gathers only, no scatter at any size.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
 def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
-                   channels_first: bool = False):
+                   channels_first: bool = False, custom_vjp: bool = True):
     """Sample a texture at continuous UV coordinates.
 
     Args:
@@ -28,39 +42,123 @@ def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
         wrap: "clamp" or "repeat".
         channels_first: return [C, ...] instead of [..., C] (cheaper for
             TPU pipelines that shade channels-first).
+        custom_vjp: use the scatter-free hand-written gradient path for
+            bilinear mode (default). ``False`` keeps plain autodiff
+            (the test oracle for the custom path).
     Returns:
         [..., C] sampled colors ([C, ...] if ``channels_first``).
     """
     texture = jnp.asarray(texture)
     uv = jnp.asarray(uv)
-    ht, wt, channels = texture.shape
 
-    # Peel the uv channels through one transpose; [..., 0] on a minor-dim-2
-    # array is a strided lane read (a full relayout pass on TPU).
+    if mode == "nearest":
+        rows_c = _nearest_cf(texture, uv, wrap)
+    elif mode == "bilinear":
+        if custom_vjp:
+            rows_c = _bilinear_cf_vjp(texture, uv, wrap)
+        else:
+            rows_c = _bilinear_cf(texture, uv, wrap)
+    else:
+        raise ValueError(f"unknown sampling mode: {mode!r}")
+    if channels_first:
+        return rows_c
+    return jnp.moveaxis(rows_c, 0, -1)
+
+
+# --------------------------------------------------------------------------
+# shared pieces
+
+
+def _continuous_coords(texture, uv):
+    """(u, v) continuous texel coordinates, channels peeled via ONE moveaxis
+    ([..., 0] on a minor-dim-2 array is a strided lane read — a full
+    relayout pass on TPU)."""
+    ht, wt, _ = texture.shape
     uv_cf = jnp.moveaxis(uv, -1, 0)
     u = uv_cf[0] * wt - 0.5
     # v=0 is the bottom row; texture row 0 is the top.
     v = (1.0 - uv_cf[1]) * ht - 0.5
+    return u, v
 
+
+def _wrap_index(idx, size, wrap):
+    if wrap == "clamp":
+        return jnp.clip(idx, 0, size - 1)
+    if wrap == "repeat":
+        return jnp.mod(idx, size)
+    raise ValueError(f"unknown wrap mode: {wrap!r}")
+
+
+def _pack_corners(texture, wrap):
+    """[Ht*Wt, 4C] row table: each texel's (self, right, down, down-right)
+    bilinear corners in one row, honoring the wrap mode, so one flat
+    row-gather fetches all four corners."""
+    ht, wt, channels = texture.shape
+    if wrap == "repeat":
+        right = jnp.roll(texture, -1, axis=1)
+        down = jnp.roll(texture, -1, axis=0)
+        downright = jnp.roll(down, -1, axis=1)
+    else:  # clamp: the last row/column are their own neighbors
+        right = jnp.concatenate([texture[:, 1:], texture[:, -1:]], axis=1)
+        down = jnp.concatenate([texture[1:], texture[-1:]], axis=0)
+        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate(
+        [texture, right, down, downright], axis=-1
+    ).reshape(ht * wt, 4 * channels)
+
+
+def _shift_adjoint(m, axis, wrap):
+    """Adjoint of the pack's shift-by-one-with-edge-handling along ``axis``.
+
+    Forward (clamp): out[j] = in[min(j+1, n-1)]; adjoint: slot j receives
+    cot[j-1], and the last slot additionally receives cot[n-1].
+    Forward (repeat): roll(-1); adjoint: roll(+1).
+    """
+    if wrap == "repeat":
+        return jnp.roll(m, 1, axis=axis)
+    n = m.shape[axis]
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(m, 0, 1, axis=axis))
+    body = jax.lax.slice_in_dim(m, 0, n - 1, axis=axis)
+    last = jax.lax.slice_in_dim(m, n - 1, n, axis=axis)
+    shifted = jnp.concatenate([zero, body], axis=axis)
+    pad = [(0, 0)] * m.ndim
+    pad[axis] = (n - 1, 0)
+    return shifted + jnp.pad(last, pad)
+
+
+def _pack_corners_adjoint(pbar, ht, wt, channels, wrap):
+    """Transpose of :func:`_pack_corners`: [Ht*Wt, 4C] cot -> [Ht,Wt,C]."""
+    maps = pbar.reshape(ht, wt, 4, channels)
+    m0 = maps[:, :, 0]
+    m1 = maps[:, :, 1]
+    m2 = maps[:, :, 2]
+    m3 = maps[:, :, 3]
+    # right = R(T), down = D(T), downright = R(D(T)) => contributions
+    # m0 + R†(m1) + D†(m2) + D†(R†(m3)).
+    return (
+        m0
+        + _shift_adjoint(m1, 1, wrap)
+        + _shift_adjoint(m2, 0, wrap)
+        + _shift_adjoint(_shift_adjoint(m3, 1, wrap), 0, wrap)
+    )
+
+
+def _nearest_cf(texture, uv, wrap):
+    ht, wt, channels = texture.shape
+    u, v = _continuous_coords(texture, uv)
     batch_shape = uv.shape[:-1]
+    iu = _wrap_index(jnp.round(u).astype(jnp.int32), wt, wrap)
+    iv = _wrap_index(jnp.round(v).astype(jnp.int32), ht, wrap)
+    flat = texture.reshape(ht * wt, channels)
+    rows = flat[(iv * wt + iu).reshape(-1)]            # [N, C]
+    return rows.T.reshape((channels,) + batch_shape)
 
-    def finish(rows_c):  # [C, *batch] -> requested layout
-        if channels_first:
-            return rows_c
-        return jnp.moveaxis(rows_c, 0, -1)
 
-    if mode == "nearest":
-        iu = jnp.round(u).astype(jnp.int32)
-        iv = jnp.round(v).astype(jnp.int32)
-        iu, iv = _wrap_index(iu, wt, wrap), _wrap_index(iv, ht, wrap)
-        flat = texture.reshape(ht * wt, channels)
-        rows = flat[(iv * wt + iu).reshape(-1)]        # [N, C]
-        rows_c = rows.T.reshape((channels,) + batch_shape)
-        return finish(rows_c)
-
-    if mode != "bilinear":
-        raise ValueError(f"unknown sampling mode: {mode!r}")
-
+def _bilinear_ingredients(texture, uv, wrap):
+    """(ids [N], fu, fv [*batch], corners t00/t01/t10/t11 [C, *batch])."""
+    ht, wt, channels = texture.shape
+    u, v = _continuous_coords(texture, uv)
+    batch_shape = uv.shape[:-1]
     if wrap == "clamp":
         # Clamp the continuous coordinate: edge samples then get fu/fv = 0
         # against the (self-neighboring) last texel, matching the
@@ -73,24 +171,10 @@ def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
     fv = v - v0f
     u0 = _wrap_index(u0f.astype(jnp.int32), wt, wrap)
     v0 = _wrap_index(v0f.astype(jnp.int32), ht, wrap)
+    ids = (v0 * wt + u0).reshape(-1)
 
-    # Pack each texel's (self, right, down, down-right) neighbors into one
-    # row, honoring the wrap mode, so one flat row-gather fetches all four
-    # bilinear corners. Differentiable: the pack is shifts + concat, so
-    # texture gradients flow through all four copies.
-    if wrap == "repeat":
-        right = jnp.roll(texture, -1, axis=1)
-        down = jnp.roll(texture, -1, axis=0)
-        downright = jnp.roll(down, -1, axis=1)
-    else:  # clamp: the last row/column are their own neighbors
-        right = jnp.concatenate([texture[:, 1:], texture[:, -1:]], axis=1)
-        down = jnp.concatenate([texture[1:], texture[-1:]], axis=0)
-        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-    packed = jnp.concatenate(
-        [texture, right, down, downright], axis=-1
-    ).reshape(ht * wt, 4 * channels)
-
-    rows = packed[(v0 * wt + u0).reshape(-1)]          # [N, 4C]
+    packed = _pack_corners(texture, wrap)
+    rows = packed[ids]                                  # [N, 4C]
     # One transpose to channels-first, then all lerps run on [C, *batch]
     # slabs (free leading-dim slices, full-lane vector ops).
     rows_c = rows.T.reshape((4 * channels,) + batch_shape)
@@ -98,17 +182,132 @@ def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
     t01 = rows_c[1 * channels:2 * channels]
     t10 = rows_c[2 * channels:3 * channels]
     t11 = rows_c[3 * channels:4 * channels]
+    return ids, fu, fv, t00, t01, t10, t11
 
+
+def _bilinear_cf(texture, uv, wrap):
+    """Plain (autodiff-transposable) bilinear sampling, channels-first."""
+    _, fu, fv, t00, t01, t10, t11 = _bilinear_ingredients(texture, uv, wrap)
     fu = fu[None]
     fv = fv[None]
     top = t00 * (1.0 - fu) + t01 * fu
     bottom = t10 * (1.0 - fu) + t11 * fu
-    return finish(top * (1.0 - fv) + bottom * fv)
+    return top * (1.0 - fv) + bottom * fv
 
 
-def _wrap_index(idx, size, wrap):
+# --------------------------------------------------------------------------
+# scatter-free sorted segment reduce
+
+_CUMSUM_BLOCK = 256
+
+
+def _cumsum_rows(rows):
+    """Inclusive cumsum of [N, K] rows along axis 0, N % BLOCK == 0.
+
+    A cumsum over a long axis lowers to a slow reduce-window pass in XLA;
+    this instead multiplies each block by a lower-triangular ones matrix on
+    the MXU (f32-highest) and chains exact block totals, so the cost is one
+    read + one write of the rows.
+    """
+    n, k = rows.shape
+    b = _CUMSUM_BLOCK
+    blocks = rows.reshape(n // b, b, k)
+    tri = jnp.tril(jnp.ones((b, b), rows.dtype))
+    inner = jax.lax.dot_general(
+        tri, blocks,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                   # [b, nb, k]
+    inner = jnp.swapaxes(inner, 0, 1)                   # [nb, b, k]
+    totals = blocks.sum(axis=1)                         # [nb, k]
+    carry = jnp.cumsum(totals, axis=0) - totals         # exclusive, short
+    return (inner + carry[:, None, :]).reshape(n, k)
+
+
+def segment_rows_sorted(ids, val, num_rows: int):
+    """Scatter-free ``out[t] = sum(val[ids == t])`` -> [num_rows, K].
+
+    Sort samples by id (payload = row permutation), row-gather, blockwise
+    MXU cumsum, then each id's sum is a difference of the cumsum at its run
+    boundaries (one searchsorted over [num_rows+1] query ids). Rows are
+    mean-centered first so the prefix differences cancel O(sqrt(N)) random
+    walks instead of O(N) totals (f32 accuracy), and the exact
+    ``count * mean`` is added back from the integer run lengths.
+    """
+    n, k = val.shape
+    mean = val.mean(axis=0)
+    pad = (-n) % _CUMSUM_BLOCK
+    ids_p = jnp.concatenate(
+        [ids, jnp.full((pad,), num_rows, ids.dtype)])
+    iota = jnp.arange(n + pad, dtype=jnp.int32)
+    ids_s, perm = jax.lax.sort_key_val(ids_p, iota)
+    val_c = val - mean
+    val_c = jnp.concatenate([val_c, jnp.zeros((pad, k), val.dtype)])
+    rows = val_c[perm]                                  # row gather
+    cs = _cumsum_rows(rows)
+    cse = jnp.concatenate([jnp.zeros((1, k), cs.dtype), cs])
+    pos = jnp.searchsorted(
+        ids_s, jnp.arange(num_rows + 1, dtype=ids_s.dtype)
+    ).astype(jnp.int32)
+    bounds = cse[pos]                                   # [num_rows+1, K]
+    counts = (pos[1:] - pos[:-1]).astype(val.dtype)
+    return bounds[1:] - bounds[:-1] + counts[:, None] * mean
+
+
+# --------------------------------------------------------------------------
+# the custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bilinear_cf_vjp(texture, uv, wrap):
+    return _bilinear_cf(texture, uv, wrap)
+
+
+def _bilinear_fwd(texture, uv, wrap):
+    return _bilinear_cf(texture, uv, wrap), (texture, uv)
+
+
+def _bilinear_bwd(wrap, res, g):
+    """g: [C, *batch] cotangent. Recomputes the (cheap) gather ingredients;
+    the texture cotangent runs through :func:`segment_rows_sorted` instead
+    of the autodiff scatter-add transpose."""
+    texture, uv = res
+    ht, wt, channels = texture.shape
+    batch_shape = uv.shape[:-1]
+    ids, fu, fv, t00, t01, t10, t11 = _bilinear_ingredients(
+        texture, uv, wrap)
+    n = ids.shape[0]
+
+    w01 = fu * (1.0 - fv)
+    w10 = (1.0 - fu) * fv
+    w11 = fu * fv
+    w00 = 1.0 - w01 - w10 - w11
+
+    # ---- texture cotangent: per-sample [4C] rows summed per texel id,
+    # then the pack transpose maps the packed table back to texel space.
+    g_rows = g.reshape(channels, n).T                   # [N, C]
+    val = jnp.concatenate(
+        [g_rows * w.reshape(n, 1) for w in (w00, w01, w10, w11)], axis=1
+    )                                                   # [N, 4C]
+    pbar = segment_rows_sorted(ids, val, ht * wt)
+    g_tex = _pack_corners_adjoint(pbar, ht, wt, channels, wrap)
+
+    # ---- uv cotangent: analytic lerp derivatives on the gathered corners.
+    fu_b = fu[None]
+    fv_b = fv[None]
+    d_du = (1.0 - fv_b) * (t01 - t00) + fv_b * (t11 - t10)
+    d_dv = (1.0 - fu_b) * (t10 - t00) + fu_b * (t11 - t01)
+    gu = jnp.sum(g * d_du, axis=0)                      # [*batch]
+    gv = jnp.sum(g * d_dv, axis=0)
     if wrap == "clamp":
-        return jnp.clip(idx, 0, size - 1)
-    if wrap == "repeat":
-        return jnp.mod(idx, size)
-    raise ValueError(f"unknown wrap mode: {wrap!r}")
+        # Through the coordinate clamp: zero outside the valid range.
+        u_pre, v_pre = _continuous_coords(texture, uv)
+        gu = jnp.where((u_pre > 0.0) & (u_pre < wt - 1.0), gu, 0.0)
+        gv = jnp.where((v_pre > 0.0) & (v_pre < ht - 1.0), gv, 0.0)
+    # u = uv_u * wt - 0.5 ; v = (1 - uv_v) * ht - 0.5.
+    g_uv = jnp.stack([gu * wt, gv * (-ht)], axis=-1)
+    return g_tex.astype(texture.dtype), g_uv.reshape(batch_shape + (2,))
+
+
+_bilinear_cf_vjp.defvjp(_bilinear_fwd, _bilinear_bwd)
