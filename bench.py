@@ -14,6 +14,7 @@ series tracks self-improvement.
 
 import json
 import sys
+import time
 
 import numpy as np
 
@@ -22,10 +23,21 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+from dirt_tpu.utils.compilecache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from dirt_tpu.core import matrices, mesh  # noqa: E402
 from dirt_tpu.ops.raster import RasterConfig  # noqa: E402
-from dirt_tpu.utils.benchtime import device_time  # noqa: E402
+from dirt_tpu.utils.benchtime import device_time, device_time_stats  # noqa: E402
 import dirt_tpu  # noqa: E402
+
+# Wall-clock budget for the SECONDARY measurements (everything after the
+# tracked JSON line). The driver runs bench.py under a timeout; round 3's
+# official metric was lost to rc=124 because the JSON line printed last.
+# It now prints FIRST, and the extras stop starting new measurements once
+# this budget is spent.
+SECONDARY_BUDGET_S = 420.0
 
 # Round-1 first *honest* measurement on one TPU v5e chip (Mpix/s fwd+bwd at
 # 1024^2, 10k-tri sphere), measured with utils/benchtime.device_time (the
@@ -88,7 +100,7 @@ def build(size):
     return clip, colors, jnp.asarray(faces), bg, weights, len(verts_obj)
 
 
-def honest_config(clip_verts, colors, faces, size):
+def honest_config(clip_verts, colors, faces, size, base=None):
     """Count-then-allocate caps that render the scene with NO truncation.
 
     The round-3 audit found the auto heuristics' expand cap silently (but
@@ -101,7 +113,7 @@ def honest_config(clip_verts, colors, faces, size):
     from dirt_tpu.ops.triangle_setup import screen_from_clip
 
     fv = screen_from_clip(clip_verts, size, size)[faces]
-    config = suggest_config(fv, size, size)
+    config = suggest_config(fv, size, size, config=base)
     _, _, _, overflow = dirt_tpu.rasterise_with_aux(
         jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors,
         faces, config=config, clip=False,
@@ -110,9 +122,11 @@ def honest_config(clip_verts, colors, faces, size):
     return config
 
 
-def bench_size(size, config=None):
+def bench_size(size, config=None, engine=None):
     clip, colors, faces, bg, weights, _ = build(size)
-    config = config or honest_config(clip, colors, faces, size)
+    if config is None:
+        base = RasterConfig(engine=engine) if engine else None
+        config = honest_config(clip, colors, faces, size, base=base)
 
     # clip=False keeps the tracked series measurement-compatible with
     # rounds 0-1 (near-plane clipping landed in round 2 and doubles the
@@ -130,13 +144,15 @@ def bench_size(size, config=None):
         b, c, co, faces, config=config, clip=False
     )
 
-    t_full = device_time(step, (clip, colors, bg))     # fwd+bwd
-    t_fwd = device_time(fwd, (clip, colors, bg))
+    t_full, t_full_med = device_time_stats(step, (clip, colors, bg))
+    t_fwd, t_fwd_med = device_time_stats(fwd, (clip, colors, bg))
     mpix = size * size / 1e6
     return {
         "size": size,
         "fwd_ms": t_fwd * 1e3,
+        "fwd_med_ms": t_fwd_med * 1e3,
         "fwdbwd_ms": t_full * 1e3,
+        "fwdbwd_med_ms": t_full_med * 1e3,
         "fwd_mpix_s": mpix / t_fwd,
         "fwdbwd_mpix_s": mpix / t_full,
     }
@@ -162,13 +178,13 @@ def bench_streaming_100k(size=1024):
     # round-2 auto switch) — the "streaming/CSR" label is historical.
     # Honest caps, same as the tracked scenes.
     config = honest_config(clip, colors, faces, size)
-    t = device_time(
+    t, t_med = device_time_stats(
         lambda c, co, b: dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False
         ),
         (clip, colors, bg), r1=2, r2=8, samples=3,
     )
-    return faces.shape[0], t
+    return faces.shape[0], t, t_med
 
 
 def bench_clip_path(size=1024):
@@ -180,52 +196,92 @@ def bench_clip_path(size=1024):
         img = dirt_tpu.rasterise(b, c, co, faces, config=config)
         return jnp.sum(img * weights)
 
-    t = device_time(
+    return device_time_stats(
         jax.grad(loss, argnums=(0, 1, 2)), (clip, colors, bg),
         r1=2, r2=12, samples=3,
     )
-    return t
+
+
+def _size_line(r, nf_sphere, backend):
+    s = r["size"]
+    g_f, p_f = _roofline(r["fwd_ms"] / 1e3, _fwd_min_bytes(s, nf_sphere))
+    g_b, p_b = _roofline(
+        r["fwdbwd_ms"] / 1e3, _fwdbwd_min_bytes(s, nf_sphere)
+    )
+    print(
+        f"# {s}^2: fwd {r['fwd_ms']:.2f} ms (med {r['fwd_med_ms']:.2f}) "
+        f"({r['fwd_mpix_s']:.1f} Mpix/s, {g_f:.0f} GB/s = {p_f:.1f}% of "
+        f"HBM speed-of-light), fwd+bwd {r['fwdbwd_ms']:.2f} ms "
+        f"(med {r['fwdbwd_med_ms']:.2f}) "
+        f"({r['fwdbwd_mpix_s']:.1f} Mpix/s, {g_b:.0f} GB/s = {p_b:.1f}% "
+        f"SOL) [{backend}]",
+        file=sys.stderr,
+    )
 
 
 def main():
     backend = jax.default_backend()
-    r256 = bench_size(256)
-    r1024 = bench_size(1024)
+    t_start = time.monotonic()
     nf_sphere = 10224
-    for r in (r256, r1024):
-        s = r["size"]
-        g_f, p_f = _roofline(r["fwd_ms"] / 1e3, _fwd_min_bytes(s, nf_sphere))
-        g_b, p_b = _roofline(
-            r["fwdbwd_ms"] / 1e3, _fwdbwd_min_bytes(s, nf_sphere)
-        )
-        print(
-            f"# {s}^2: fwd {r['fwd_ms']:.2f} ms "
-            f"({r['fwd_mpix_s']:.1f} Mpix/s, {g_f:.0f} GB/s = {p_f:.1f}% of "
-            f"HBM speed-of-light), fwd+bwd {r['fwdbwd_ms']:.2f} ms "
-            f"({r['fwdbwd_mpix_s']:.1f} Mpix/s, {g_b:.0f} GB/s = {p_b:.1f}% "
-            f"SOL) [{backend}]",
-            file=sys.stderr,
-        )
-    t_clip = bench_clip_path()
-    print(
-        f"# 1024^2 with GL-parity clipping (public default): fwd+bwd "
-        f"{t_clip*1e3:.2f} ms ({1024*1024/1e6/t_clip:.1f} Mpix/s)",
-        file=sys.stderr,
-    )
-    nf, t100 = bench_streaming_100k()
-    g_s, p_s = _roofline(t100, _fwd_min_bytes(1024, nf))
-    print(
-        f"# {nf}-tri streaming fwd 1024^2: {t100*1e3:.1f} ms "
-        f"({1024*1024/1e6/t100:.1f} Mpix/s, {g_s:.0f} GB/s = {p_s:.1f}% SOL)",
-        file=sys.stderr,
-    )
+
+    # THE TRACKED MEASUREMENT, and nothing before it: the JSON line must
+    # reach the driver even if a later (secondary) measurement times out.
+    r1024 = bench_size(1024)
     value = r1024["fwdbwd_mpix_s"]
     print(json.dumps({
         "metric": "Mpix/s fwd+bwd, 1024^2, 10k-tri sphere, 1 chip",
         "value": round(value, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(value / BASELINE_MPIX_S, 3),
-    }))
+    }), flush=True)
+    _size_line(r1024, nf_sphere, backend)
+
+    def budget_left(label):
+        spent = time.monotonic() - t_start
+        if spent < SECONDARY_BUDGET_S:
+            return True
+        print(
+            f"# secondary budget spent ({spent:.0f}s) — skipping {label}",
+            file=sys.stderr,
+        )
+        return False
+
+    # Secondary lines, cheapest-information-first, each budget-gated.
+    if budget_left("dense A/B"):
+        # Engine A/B at honest caps on the flagship scene: the packed
+        # engine is the auto default and must re-earn that spot against
+        # the v1 dense engine at every round (the round-2 packed "win"
+        # was measured on a truncated render).
+        r_dense = bench_size(1024, engine="dense")
+        print(
+            f"# 1024^2 dense-engine A/B: fwd {r_dense['fwd_ms']:.2f} ms "
+            f"(med {r_dense['fwd_med_ms']:.2f}), fwd+bwd "
+            f"{r_dense['fwdbwd_ms']:.2f} ms "
+            f"(med {r_dense['fwdbwd_med_ms']:.2f}) "
+            f"({r_dense['fwdbwd_mpix_s']:.1f} Mpix/s) vs packed "
+            f"{r1024['fwdbwd_ms']:.2f} ms",
+            file=sys.stderr,
+        )
+    if budget_left("256^2"):
+        _size_line(bench_size(256), nf_sphere, backend)
+    if budget_left("clip path"):
+        t_clip, t_clip_med = bench_clip_path()
+        print(
+            f"# 1024^2 with GL-parity clipping (public default): fwd+bwd "
+            f"{t_clip*1e3:.2f} ms (med {t_clip_med*1e3:.2f}) "
+            f"({1024*1024/1e6/t_clip:.1f} Mpix/s)",
+            file=sys.stderr,
+        )
+    if budget_left("100k-tri"):
+        nf, t100, t100_med = bench_streaming_100k()
+        g_s, p_s = _roofline(t100, _fwd_min_bytes(1024, nf))
+        print(
+            f"# {nf}-tri fwd 1024^2: {t100*1e3:.1f} ms "
+            f"(med {t100_med*1e3:.1f}) "
+            f"({1024*1024/1e6/t100:.1f} Mpix/s, {g_s:.0f} GB/s = "
+            f"{p_s:.1f}% SOL)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
 
+from dirt_tpu.utils.compilecache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from dirt_tpu.core import lighting, matrices, mesh  # noqa: E402
 from dirt_tpu.render.deferred import shade_deferred  # noqa: E402
 from dirt_tpu.render.gbuffer import render_gbuffer  # noqa: E402

@@ -43,7 +43,20 @@ def _loop_runner(fn, example_args, reps):
 
 def device_time(fn, example_args, r1: int = 2, r2: int = 12,
                 samples: int = 3) -> float:
-    """Median seconds per invocation of ``fn(*example_args)`` on device."""
+    """Best-estimate seconds per invocation of ``fn(*example_args)``."""
+    return device_time_stats(fn, example_args, r1, r2, samples)[0]
+
+
+def device_time_stats(fn, example_args, r1: int = 2, r2: int = 12,
+                      samples: int = 3) -> tuple[float, float]:
+    """(min, median) seconds per invocation, from per-sample estimates.
+
+    Transport noise on the tunneled chip is one-sided (spikes), so the
+    min is the robust point estimate; the median is reported alongside so
+    callers can print the spread instead of a bare 3-digit number
+    (run-to-run variance is ~15 percent — single-digit perf claims need
+    both values).
+    """
     f1 = _loop_runner(fn, example_args, r1)
     f2 = _loop_runner(fn, example_args, r2)
     float(f1())  # compile + warm
@@ -55,10 +68,14 @@ def device_time(fn, example_args, r1: int = 2, r2: int = 12,
             t0 = time.perf_counter()
             float(f())
             vals.append(time.perf_counter() - t0)
-        # Timing noise is one-sided (spikes); min is the robust estimator
-        # and keeps the t2 - t1 difference unbiased.
-        return min(vals)
+        return vals
 
-    t1 = sample(f1)
-    t2 = sample(f2)
-    return max(t2 - t1, 1e-9) / (r2 - r1)
+    t1s = sample(f1)
+    t2s = sample(f2)
+    # Baseline (r1 reps) uses its min: its own spikes would *shrink* the
+    # difference and bias every estimate low.
+    t1 = min(t1s)
+    ests = sorted(max(t2 - t1, 1e-9) / (r2 - r1) for t2 in t2s)
+    t_min = ests[0]
+    t_med = ests[len(ests) // 2]
+    return t_min, t_med
