@@ -49,7 +49,10 @@ def test_face_sharded_forward_matches_single_device():
 
 
 @pytest.mark.slow
-def test_face_sharded_gradients_match_single_device():
+@pytest.mark.parametrize("n_shards", [4, 8])
+def test_face_sharded_gradients_match_single_device(n_shards):
+    # n=8 makes the backward's row bands only 8 rows tall (H=64), so
+    # cross-band boundary pairs and the ppermute halos are stressed.
     verts, colors, faces, bg = _scene(seed=4)
     target = jnp.zeros_like(bg)
 
@@ -57,7 +60,7 @@ def test_face_sharded_gradients_match_single_device():
         img = dirt_tpu.rasterise(b, v, c, faces, config=CFG, clip=False)
         return 0.5 * jnp.sum((img - target) ** 2)
 
-    with Mesh(np.array(jax.devices()[:4]), ("faces",)) as mesh:
+    with Mesh(np.array(jax.devices()[:n_shards]), ("faces",)) as mesh:
         def loss_sharded(v, c, b):
             img = rasterise_face_sharded(
                 b, v, c, faces, mesh, config=CFG
