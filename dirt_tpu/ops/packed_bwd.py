@@ -94,11 +94,16 @@ def _bwd_packed_kernel(
     rows_scratch,
     *, channels: int, k_cols: int, col_one: int, tile_h: int,
     tile_w: int, tiles_x: int, total: int, budget_chunks: int,
-    width: int,
+    width: int, c_off: int = 0,
 ):
     strips = tile_h // SUB_H
     px = SUB_H * tile_w                     # strip pixels, flattened
-    c = pl.program_id(0)
+    # ``c_off`` lets one pass cover a STATIC SLICE of the budget chunks
+    # (grid = slice length): the gradient-overlap path runs the backward
+    # as several such slices so each slice's parameter-grad psum can ride
+    # ICI while the next slice computes (parallel/overlap.py). c_off = 0
+    # with a full grid is the ordinary single-pass backward.
+    c = pl.program_id(0) + c_off
     t = meta_ref[c]
     sb = meta_ref[budget_chunks + t]
     n_it = meta_ref[budget_chunks + total + t]
@@ -217,6 +222,40 @@ def _bwd_packed_kernel(
             out_ref[w * WINDOW:(w + 1) * WINDOW, :] = rows_scratch[:]
 
 
+def pool_reduce_rows(entry_rows, pair_rows, pool_offs, num_faces: int,
+                     bmax: int, row_base: int = 0):
+    """Reduce per-entry cotangent rows to faces via the pool backpointers.
+
+    ``entry_rows`` may be a SLICE of the budget rows starting at global
+    row ``row_base`` (the gradient-overlap path reduces each slice
+    separately; contributions of rows outside the slice are zero, so the
+    per-slice face rows sum to the one-pass result exactly up to f32
+    reassociation). Backpointers outside [row_base, row_base + len) —
+    including the sentinel — contribute zero via a clipped gather + mask
+    (no padded copy of the 11 MB row table; ROADMAP round-3 #2).
+    """
+    from dirt_tpu.ops.binning import POOL_ALIGN
+
+    k_cols = entry_rows.shape[1]
+    nrows = entry_rows.shape[0]
+    idx = pair_rows - row_base
+    valid = (idx >= 0) & (idx < nrows)
+    pool_rows = entry_rows[jnp.clip(idx, 0, nrows - 1)]
+    pool_rows = jnp.where(valid[:, None], pool_rows, 0.0)
+    nblk = pool_rows.shape[0] // POOL_ALIGN
+    blk = pool_rows.reshape(nblk, POOL_ALIGN, k_cols).sum(axis=1)
+    blk = jnp.concatenate([blk, jnp.zeros((1, k_cols), jnp.float32)])
+    offs = pool_offs
+    bidx = offs[:num_faces, None] + jnp.arange(
+        bmax, dtype=jnp.int32
+    )[None, :]
+    mask = (bidx < offs[1:num_faces + 1, None]) & (bidx < nblk)
+    take = jnp.where(mask, bidx, nblk)
+    return blk[take.reshape(-1)].reshape(
+        num_faces, bmax, k_cols
+    ).sum(axis=1)
+
+
 def backward_packed(
     geo, att, fid, zbuf, pixels, grad_pixels, bins, num_faces: int,
     tile_h: int, tile_w: int, interpret: bool | None = None,
@@ -237,6 +276,72 @@ def backward_packed(
     (``parallel.sharding``); the geometry stays in slab-local
     coordinates — no shifted re-setup is needed.
     """
+    prep = prepare_backward_packed(
+        geo, att, fid, zbuf, pixels, grad_pixels, bins, tile_h, tile_w,
+        interpret=interpret, nbrs=nbrs,
+    )
+    geo, att = prep.geo, prep.att
+    covered = fid >= 0
+    entry_rows = packed_entry_rows(prep)
+    channels = prep.channels
+
+    with jax.named_scope("dirt_packed_bwd_reduce"):
+        if bins.pair_rows is not None and bmax is not None:
+            # Gather-based reduce via the binning's pool backpointers
+            # (PackedBins.pair_rows): pool slots fetch their budget rows
+            # with one clipped row gather (+ validity mask), 8-slot
+            # blocks sum densely, and each face gathers its <= bmax
+            # blocks (pool runs are 8-aligned). Replaces the XLA
+            # scatter-add (~9 ns/row: 1.08 -> 0.33 ms at 1024^2/10k
+            # faces) and scales with real candidates, not the budget.
+            face_rows = pool_reduce_rows(
+                entry_rows, bins.pair_rows, bins.pool_offs, num_faces,
+                bmax,
+            )
+        else:
+            face_rows = jax.ops.segment_sum(
+                entry_rows, bins.entries // 8,
+                num_segments=num_faces + 1,
+            )[:num_faces]
+    d_geo, d_att = assemble_face_gradients(
+        geo, att, face_rows, channels
+    )
+    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
+    return d_geo, d_att, d_background
+
+
+class _PackedBwdPrep:
+    """Prepared inputs for :func:`packed_entry_rows` (plain container)."""
+
+    def __init__(self, kernel_args, bins, geo, att, channels, k_cols,
+                 tile_h, tile_w, tiles_x, total, strips_n, px_n,
+                 interpret):
+        self.kernel_args = kernel_args
+        self.bins = bins
+        self.geo, self.att = geo, att
+        self.channels, self.k_cols = channels, k_cols
+        self.tile_h, self.tile_w = tile_h, tile_w
+        self.tiles_x, self.total = tiles_x, total
+        self.strips_n, self.px_n = strips_n, px_n
+        self.interpret = interpret
+
+    @property
+    def budget_chunks(self) -> int:
+        return self.bins.entries.shape[0] // PACK_CHUNK
+
+
+def prepare_backward_packed(
+    geo, att, fid, zbuf, pixels, grad_pixels, bins, tile_h: int,
+    tile_w: int, interpret: bool | None = None, nbrs=None,
+) -> _PackedBwdPrep:
+    """XLA-level prologue shared by all packed-backward entry points.
+
+    Pads/permutes the image-space fields into the flat-subtile layout and
+    builds the boundary-pair neighbor stacks (or splices in externally
+    supplied halo-aware ones — see :func:`backward_packed`). The result
+    feeds :func:`packed_entry_rows` one or more times (full range, or
+    budget-chunk slices for the gradient-overlap path).
+    """
     geo = jnp.asarray(geo, jnp.float32)
     att = jnp.asarray(att, jnp.float32)
     channels = pixels.shape[-1]
@@ -249,7 +354,6 @@ def backward_packed(
     if interpret is None:
         interpret = cfg.use_interpret()
 
-    covered = fid >= 0
     pad2 = ((0, hp - height), (0, wp - width_img))
     fid_p = jnp.pad(fid, pad2, constant_values=-2)
     zbuf_p = jnp.pad(zbuf, pad2, constant_values=BIG_Z)
@@ -285,7 +389,32 @@ def backward_packed(
         .reshape(total, strips_n, px_n)
     )
 
-    table2 = pack_face_table_v2(geo, att)
+    return _PackedBwdPrep(
+        kernel_args=(fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f,
+                     nz_f, sval_f),
+        bins=bins, geo=geo, att=att, channels=channels, k_cols=k_cols,
+        tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, total=total,
+        strips_n=strips_n, px_n=px_n, interpret=interpret,
+    )
+
+
+def packed_entry_rows(prep: _PackedBwdPrep, c_lo: int = 0,
+                      c_hi: int | None = None):
+    """Run the packed backward kernel over budget chunks [c_lo, c_hi).
+
+    Returns the per-entry cotangent rows for that STATIC slice of the
+    budget ([rows_slice, k_cols]); chunks carry no cross-chunk state, so
+    slices compose exactly. The gradient-overlap path
+    (``parallel.overlap``) runs one slice per row band and psums each
+    band's parameter gradients while the next band computes; the default
+    full range is the ordinary one-pass backward.
+    """
+    bins = prep.bins
+    channels, k_cols = prep.channels, prep.k_cols
+    tile_h, tile_w = prep.tile_h, prep.tile_w
+    strips_n, px_n = prep.strips_n, prep.px_n
+
+    table2 = pack_face_table_v2(prep.geo, prep.att)
     width = table2.shape[1]
     col_one = COL_ATT + 3 * channels
     assert col_one < width, "packed table needs a spare ones column"
@@ -295,6 +424,9 @@ def backward_packed(
 
     budget_rows = bins.entries.shape[0]
     budget_chunks = budget_rows // PACK_CHUNK
+    if c_hi is None:
+        c_hi = budget_chunks
+    n_c = c_hi - c_lo
     meta = jnp.concatenate(
         [bins.chunk_tile, bins.start_block, bins.n_iters,
          bins.iter_off, bins.strip_iters]
@@ -303,19 +435,22 @@ def backward_packed(
     kernel = functools.partial(
         _bwd_packed_kernel,
         channels=channels, k_cols=k_cols, col_one=col_one,
-        tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, total=total,
-        budget_chunks=budget_chunks, width=width,
+        tile_h=tile_h, tile_w=tile_w, tiles_x=prep.tiles_x,
+        total=prep.total, budget_chunks=budget_chunks, width=width,
+        c_off=c_lo,
     )
-    img = lambda c, m: (m[c] // tiles_x, m[c] % tiles_x)
-    imgc = lambda c, m: (0, m[c] // tiles_x, m[c] % tiles_x)
+    tiles_x = prep.tiles_x
+    img = lambda c, m: (m[c + c_lo] // tiles_x, m[c + c_lo] % tiles_x)
+    imgc = lambda c, m: (0, m[c + c_lo] // tiles_x, m[c + c_lo] % tiles_x)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(budget_chunks,),
+        grid=(n_c,),
         in_specs=[
-            pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c, 0),
+            pl.BlockSpec((PACK_CHUNK, width), lambda c, m: (c + c_lo, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, strips_n, px_n), lambda c, m: (m[c], 0, 0),
+            pl.BlockSpec((1, strips_n, px_n),
+                         lambda c, m: (m[c + c_lo], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
@@ -338,50 +473,11 @@ def backward_packed(
             pltpu.VMEM((WINDOW, k_cols), jnp.float32),
         ],
     )
-    entry_rows = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((budget_rows, k_cols), jnp.float32),
-        interpret=interpret,
-    )(meta, rows, fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f,
-      sval_f)
-
-    with jax.named_scope("dirt_packed_bwd_reduce"):
-        if bins.pair_rows is not None and bmax is not None:
-            # Gather-based reduce via the binning's pool backpointers
-            # (PackedBins.pair_rows): pool slots fetch their budget rows
-            # with one row gather (sentinel -> padded zero row), 8-slot
-            # blocks sum densely, and each face gathers its <= bmax
-            # blocks (pool runs are 8-aligned). Replaces the XLA
-            # scatter-add (~9 ns/row: 1.08 -> 0.33 ms at 1024^2/10k
-            # faces) and scales with real candidates, not the budget.
-            padded = jnp.concatenate(
-                [entry_rows, jnp.zeros((1, k_cols), jnp.float32)]
-            )
-            from dirt_tpu.ops.binning import POOL_ALIGN
-
-            pool_rows = padded[bins.pair_rows]
-            nblk = pool_rows.shape[0] // POOL_ALIGN
-            blk = pool_rows.reshape(nblk, POOL_ALIGN, k_cols).sum(axis=1)
-            blk = jnp.concatenate(
-                [blk, jnp.zeros((1, k_cols), jnp.float32)]
-            )
-            offs = bins.pool_offs
-            idx = offs[:num_faces, None] + jnp.arange(
-                bmax, dtype=jnp.int32
-            )[None, :]
-            mask = (idx < offs[1:num_faces + 1, None]) & (idx < nblk)
-            take = jnp.where(mask, idx, nblk)
-            face_rows = blk[take.reshape(-1)].reshape(
-                num_faces, bmax, k_cols
-            ).sum(axis=1)
-        else:
-            face_rows = jax.ops.segment_sum(
-                entry_rows, bins.entries // 8,
-                num_segments=num_faces + 1,
-            )[:num_faces]
-    d_geo, d_att = assemble_face_gradients(
-        geo, att, face_rows, channels
-    )
-    d_background = jnp.where(covered[..., None], 0.0, grad_pixels)
-    return d_geo, d_att, d_background
+        out_shape=jax.ShapeDtypeStruct(
+            (n_c * PACK_CHUNK, k_cols), jnp.float32
+        ),
+        interpret=prep.interpret,
+    )(meta, rows, *prep.kernel_args)

@@ -36,11 +36,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from dirt_tpu.ops.raster import RasterConfig, _forward_impl
+from dirt_tpu.ops import binning
+from dirt_tpu.ops.raster import (
+    RasterConfig,
+    _forward_impl,
+    resolve_engine,
+)
 from dirt_tpu.ops.raster_bwd import (
     GEO_DEN,
     GEO_EDGE,
     anchor_cotangents,
+    assemble_face_gradients,
     pixel_cotangents_core,
 )
 from dirt_tpu.ops.raster_fwd import BIG_Z
@@ -193,6 +199,185 @@ def overlapped_loss_and_grads(
     return fn(
         jnp.asarray(background, jnp.float32),
         jnp.asarray(target, jnp.float32),
+        jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(vertex_colors, jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the production overlapped path. ``overlapped_loss_and_grads``
+# above proved the per-chunk-psum structure on the pure-JAX cotangent
+# engine with a hardcoded L2 loss; this custom_vjp wraps the PACKED fused
+# backward (the production engine) and accepts ARBITRARY upstream
+# cotangents, so it composes with any downstream loss/shading graph
+# (round-3 VERDICT task #7). ``parallel.sharding.rasterise_sharded``
+# exposes it via ``overlap_chunks=N``.
+# ---------------------------------------------------------------------------
+
+
+def _packed_caps(config: RasterConfig, num_faces: int, hp: int, wp: int):
+    """(expand, budget) exactly as ``ops.raster._forward_impl`` resolves
+    them — the backward re-derives the forward's bins (rematerialization),
+    so the caps must match bit-for-bit."""
+    tiles_y, tiles_x, strips, groups = binning.packed_grid(
+        hp, wp, config.tile_h, config.tile_w
+    )
+    nsid = tiles_y * tiles_x * strips * groups
+    expand = config.expand_cap or binning.auto_packed_expand(
+        num_faces, nsid
+    )
+    budget = config.budget or binning.auto_packed_budget(
+        num_faces, hp, wp, config.tile_h, config.tile_w, expand
+    )
+    return expand, budget
+
+
+def rasterise_overlapped(
+    background, vertices, vertex_colors, faces, mesh, axis: str = "tiles",
+    config: RasterConfig | None = None, n_chunks: int = 2,
+):
+    """Row-sharded render whose backward overlaps grad psums with compute.
+
+    Functionally identical to ``parallel.sharding.rasterise_sharded``
+    (same forward, same gradient semantics, arbitrary upstream
+    cotangents), but the backward runs the packed fused kernel as
+    ``n_chunks`` STATIC slices of its budget-chunk grid; each slice's
+    parameter gradients are psum'd immediately, so on a pod slice chunk
+    k's ICI collective can ride while slice k+1 computes. Requirements on
+    top of ``rasterise_sharded``: the packed engine must be the resolved
+    engine (it is, for production face counts), and the bins are
+    REMATERIALIZED in the backward (binning is deterministic; this trades
+    ~2.8 ms of recompute at 1024^2 for not plumbing PackedBins through
+    the custom_vjp residual boundary).
+    """
+    height, width, channels = background.shape
+    n = mesh.shape[axis]
+    config = (config or RasterConfig()).concrete(height // n)
+    if height % (n * config.tile_h) != 0:
+        raise ValueError(
+            f"height {height} must divide devices*tile_h "
+            f"({n}*{config.tile_h})"
+        )
+    faces = jnp.asarray(faces, jnp.int32)
+    num_faces = faces.shape[0]
+    if resolve_engine(config, num_faces) != "packed":
+        raise ValueError(
+            "rasterise_overlapped requires the packed engine (pass "
+            "engine='packed' or a production-size face count)"
+        )
+    slab_h = height // n
+    hp = slab_h                      # slab_h is a tile_h multiple
+    wp = -(-width // config.tile_w) * config.tile_w
+    tile_h, tile_w = config.tile_h, config.tile_w
+    expand, budget = _packed_caps(config, num_faces, hp, wp)
+    budget_chunks = budget * binning.GROUPS // binning.PACK_CHUNK
+    n_chunks = max(1, min(n_chunks, budget_chunks))
+    bmax = -(-expand // binning.POOL_ALIGN)
+
+    shift = jnp.array([0.0, 1.0, 0.0, 0.0])
+
+    def _face_data(verts, cols, row0):
+        fv = screen_from_clip(verts, height, width)[faces] - shift * row0
+        return fv, cols[faces]
+
+    def _rebin(fv):
+        """Deterministic re-derivation of the forward's PackedBins."""
+        from dirt_tpu.ops.triangle_setup import (
+            edge_filter_cols,
+            face_bbox_cols,
+        )
+
+        fv = jax.lax.stop_gradient(fv)
+        _, _, valid = setup_planes(
+            fv, jnp.zeros((num_faces, 3, 1), jnp.float32)
+        )
+        bbox = face_bbox_cols(fv, valid, slab_h, width)
+        edges = edge_filter_cols(fv)
+        return binning.bin_faces_packed(
+            bbox, hp, wp, tile_h, tile_w, budget, expand,
+            edges=edges, pool_cap=config.pool_cap,
+        )
+
+    @jax.custom_vjp
+    def overlapped_op(background, verts, cols):
+        return _fwd(background, verts, cols)[0]
+
+    def _fwd(background, verts, cols):
+        def per_dev(bg_slab, verts, cols):
+            row0 = (jax.lax.axis_index(axis) * slab_h).astype(jnp.float32)
+            fv, fa = _face_data(verts, cols, row0)
+            pixels, fid, zbuf, _ = _forward_impl(fv, fa, bg_slab, config)
+            return pixels, fid, zbuf
+
+        pixels, fid, zbuf = jax.shard_map(
+            per_dev, mesh=mesh,
+            in_specs=(P(axis), P(), P()),
+            out_specs=(P(axis), P(axis), P(axis)),
+            check_vma=False,
+        )(jnp.asarray(background, jnp.float32), verts, cols)
+        return pixels, (background, verts, cols, pixels, fid, zbuf)
+
+    def _bwd(residuals, grad_pixels):
+        background, verts, cols, pixels, fid, zbuf = residuals
+
+        def per_dev(cot, pix, fid_s, zbuf_s, verts, cols):
+            from dirt_tpu.ops.packed_bwd import (
+                packed_entry_rows,
+                pool_reduce_rows,
+                prepare_backward_packed,
+            )
+
+            row0 = (jax.lax.axis_index(axis) * slab_h).astype(jnp.float32)
+
+            def to_planes(verts, cols):
+                fv, fa = _face_data(verts, cols, row0)
+                geo, att, _ = setup_planes(fv, fa)
+                return geo, att
+
+            (geo, att), vjp_planes = jax.vjp(to_planes, verts, cols)
+            fv, _ = _face_data(verts, cols, row0)
+            bins = _rebin(fv)
+            nbrs4 = _halo_neighbor_stacks(
+                fid_s, zbuf_s, pix, cot, axis, hp, wp
+            )
+            prep = prepare_backward_packed(
+                geo, att, fid_s, zbuf_s, pix, cot, bins, tile_h, tile_w,
+                nbrs=nbrs4,
+            )
+            bounds = [
+                round(k * budget_chunks / n_chunks)
+                for k in range(n_chunks + 1)
+            ]
+            d_verts = jnp.zeros_like(verts)
+            d_cols = jnp.zeros_like(cols)
+            for c0, c1 in zip(bounds[:-1], bounds[1:]):
+                rows_k = packed_entry_rows(prep, c0, c1)
+                face_rows_k = pool_reduce_rows(
+                    rows_k, bins.pair_rows, bins.pool_offs, num_faces,
+                    bmax, row_base=c0 * binning.PACK_CHUNK,
+                )
+                d_geo_k, d_att_k = assemble_face_gradients(
+                    geo, att, face_rows_k, channels
+                )
+                dv_k, dc_k = vjp_planes((d_geo_k, d_att_k))
+                # The per-chunk collective: on a pod this psum (ICI)
+                # overlaps the next slice's kernel pass.
+                d_verts = d_verts + jax.lax.psum(dv_k, axis)
+                d_cols = d_cols + jax.lax.psum(dc_k, axis)
+            d_bg = jnp.where((fid_s >= 0)[..., None], 0.0, cot)
+            return d_verts, d_cols, d_bg
+
+        d_verts, d_cols, d_bg = jax.shard_map(
+            per_dev, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(), P(axis)),
+            check_vma=False,
+        )(grad_pixels, pixels, fid, zbuf, verts, cols)
+        return d_bg, d_verts, d_cols
+
+    overlapped_op.defvjp(_fwd, _bwd)
+    return overlapped_op(
+        jnp.asarray(background, jnp.float32),
         jnp.asarray(vertices, jnp.float32),
         jnp.asarray(vertex_colors, jnp.float32),
     )

@@ -272,7 +272,7 @@ def slab_render(
 
 def rasterise_sharded(
     background, vertices, vertex_colors, faces, mesh, axis: str = "tiles",
-    config: RasterConfig | None = None,
+    config: RasterConfig | None = None, overlap_chunks: int | None = None,
 ):
     """Tile-sharded equivalent of ``dirt_tpu.rasterise``.
 
@@ -288,10 +288,24 @@ def rasterise_sharded(
             ``parallel.multihost.make_render_mesh``: rows shard
             dcn-major so each host owns a contiguous band and halo
             ppermutes cross DCN only at band boundaries).
+        overlap_chunks: if set (and ``axis`` is a single name, packed
+            engine), the backward runs as that many budget-chunk slices
+            with a parameter-grad ``psum`` per slice, so collectives
+            overlap compute on a pod (``parallel.overlap``). Gradients
+            are unchanged up to f32 reassociation.
     Returns:
         [H, W, C] rendered image, sharded along rows; differentiable w.r.t.
         background, vertices, vertex_colors (parameter grads all-reduced).
     """
+    if overlap_chunks is not None:
+        from dirt_tpu.parallel.overlap import rasterise_overlapped
+
+        if not isinstance(axis, str):
+            raise ValueError("overlap_chunks needs a single-name axis")
+        return rasterise_overlapped(
+            background, vertices, vertex_colors, faces, mesh, axis,
+            config, n_chunks=overlap_chunks,
+        )
     height, width, _ = background.shape
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     n = 1
