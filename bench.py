@@ -80,16 +80,23 @@ def _fwdbwd_min_bytes(size, num_faces, channels=3):
     return fwd + bwd
 
 
-def build(size):
-    verts_obj, faces, _ = mesh.uv_sphere(n_lat=72, n_lon=72)
+@jax.jit
+def _to_clip(verts_obj):
+    # Jitted: ~30 eagerly dispatched matrix ops cost ~20 s of transport
+    # round trips on the tunneled chip.
     mv = matrices.compose(
         matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
         matrices.translation(jnp.array([0.0, 0.0, -3.0])),
     )
     proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
-    clip = matrices.transform_homogeneous(
-        jnp.asarray(verts_obj), matrices.compose(mv, proj)
+    return matrices.transform_homogeneous(
+        verts_obj, matrices.compose(mv, proj)
     )
+
+
+def build(size):
+    verts_obj, faces, _ = mesh.uv_sphere(n_lat=72, n_lon=72)
+    clip = _to_clip(jnp.asarray(verts_obj))
     colors = jnp.asarray(
         np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32
     )
@@ -109,14 +116,23 @@ def honest_config(clip_verts, colors, faces, size, base=None):
     is complete, so the bench measures exact-cap configs and ASSERTS the
     overflow flag is clear.
     """
+    import functools
+
     from dirt_tpu.ops.raster import suggest_config
     from dirt_tpu.ops.triangle_setup import screen_from_clip
 
-    fv = screen_from_clip(clip_verts, size, size)[faces]
+    # Everything device-side is jitted: eager dispatch pays a transport
+    # round trip PER OP on the tunneled chip (an eager check render took
+    # minutes; jitted, seconds).
+    fv = jax.jit(
+        lambda cv, f: screen_from_clip(cv, size, size)[f]
+    )(clip_verts, faces)
     config = suggest_config(fv, size, size, config=base)
-    _, _, _, overflow = dirt_tpu.rasterise_with_aux(
-        jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors,
-        faces, config=config, clip=False,
+    check = jax.jit(functools.partial(
+        dirt_tpu.rasterise_with_aux, config=config, clip=False
+    ))
+    _, _, _, overflow = check(
+        jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors, faces
     )
     assert not bool(overflow), "bench scene must render untruncated"
     return config
@@ -133,19 +149,25 @@ def bench_size(size, config=None, engine=None):
     # static face array; the scene is entirely in front of the camera, so
     # the rendered image is identical). The GL-parity clip-on path is
     # reported separately in the human-readable log.
-    def loss(clip, colors, bg):
+    #
+    # ``weights`` is an ARGUMENT, not a closure capture: a closure-
+    # captured [1024, 1024, 3] array becomes an embedded constant whose
+    # derived values (shifts/pads of the upstream cotangent) XLA
+    # constant-folds inside the timing loop — measured 227 MB executables
+    # and ~10 min compiles vs 8 MB / ~60 s with it passed as a parameter.
+    def loss(clip, colors, bg, w):
         img = dirt_tpu.rasterise(
             bg, clip, colors, faces, config=config, clip=False
         )
-        return jnp.sum(img * weights)
+        return jnp.sum(img * w)
 
     step = jax.grad(loss, argnums=(0, 1, 2))
-    fwd = lambda c, co, b: dirt_tpu.rasterise(
+    fwd = lambda c, co, b, w: dirt_tpu.rasterise(
         b, c, co, faces, config=config, clip=False
     )
 
-    t_full, t_full_med = device_time_stats(step, (clip, colors, bg))
-    t_fwd, t_fwd_med = device_time_stats(fwd, (clip, colors, bg))
+    t_full, t_full_med = device_time_stats(step, (clip, colors, bg, weights))
+    t_fwd, t_fwd_med = device_time_stats(fwd, (clip, colors, bg, weights))
     mpix = size * size / 1e6
     return {
         "size": size,
@@ -161,14 +183,7 @@ def bench_size(size, config=None, engine=None):
 def bench_streaming_100k(size=1024):
     """Large-mesh CSR streaming path (~100k tris)."""
     verts_obj, faces, _ = mesh.uv_sphere(n_lat=224, n_lon=224)
-    mv = matrices.compose(
-        matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
-        matrices.translation(jnp.array([0.0, 0.0, -3.0])),
-    )
-    proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
-    clip = matrices.transform_homogeneous(
-        jnp.asarray(verts_obj), matrices.compose(mv, proj)
-    )
+    clip = _to_clip(jnp.asarray(verts_obj))
     colors = jnp.asarray(
         np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32
     )
@@ -192,12 +207,12 @@ def bench_clip_path(size=1024):
     clip, colors, faces, bg, weights, _ = build(size)
     config = honest_config(clip, colors, faces, size)
 
-    def loss(c, co, b):
+    def loss(c, co, b, w):
         img = dirt_tpu.rasterise(b, c, co, faces, config=config)
-        return jnp.sum(img * weights)
+        return jnp.sum(img * w)
 
     return device_time_stats(
-        jax.grad(loss, argnums=(0, 1, 2)), (clip, colors, bg),
+        jax.grad(loss, argnums=(0, 1, 2)), (clip, colors, bg, weights),
         r1=2, r2=12, samples=3,
     )
 

@@ -452,15 +452,29 @@ def suggest_config(
     num_faces = face_verts_screen.shape[0]
     streaming = use_streaming(config, num_faces)
     engine = resolve_engine(config, num_faces)
-    _, _, valid = setup_planes(
-        face_verts_screen,
-        jnp.zeros((num_faces, 3, 1), jnp.float32),
+
+    # One jitted device program + one host fetch: eagerly dispatched, the
+    # ~50 small setup/bbox ops each pay a full transport round trip on
+    # tunneled backends (measured minutes per suggest_config call at 10k
+    # faces on axon).
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+    def _device_part(fv, height, width, tile_h, tile_w):
+        _, _, valid = setup_planes(
+            fv, jnp.zeros((fv.shape[0], 3, 1), jnp.float32)
+        )
+        bbox = face_bboxes(fv, valid, height, width)
+        counts, max_span = count_bins_exact(
+            bbox, height, width, tile_h, tile_w
+        )
+        return bbox, jnp.max(counts), max_span
+
+    bbox, max_count, max_span = jax.device_get(
+        _device_part(
+            face_verts_screen, height, width,
+            config.tile_h, config.tile_w,
+        )
     )
-    bbox = face_bboxes(face_verts_screen, valid, height, width)
-    counts, max_span = count_bins_exact(
-        bbox, height, width, config.tile_h, config.tile_w
-    )
-    max_count = int(jnp.max(counts))
+    max_count = int(max_count)
     cap = _pad_to(max(int(max_count * margin), 1), binning.CHUNK)
     kwargs = dict(bin_cap=cap)
     if streaming or config.streaming:
@@ -541,7 +555,9 @@ def count_packed_exact(bbox, height: int, width: int, tile_h: int,
     if face_verts_screen is not None:
         from dirt_tpu.ops.triangle_setup import edge_filter_cols
 
-        cols = [np.asarray(c) for c in edge_filter_cols(face_verts_screen)]
+        # One jitted program + one fetch (see suggest_config).
+        cols = jax.device_get(jax.jit(edge_filter_cols)(face_verts_screen))
+        cols = [np.asarray(c) for c in cols]
         x0, y0, a0, b0, a1, b1, a2, b2, c0 = cols
         rx0 = gx * binning.SUB_W + 0.5 - x0[:, None]
         ry0 = gy * binning.SUB_H + 0.5 - y0[:, None]

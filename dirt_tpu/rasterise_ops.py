@@ -183,16 +183,30 @@ def suggest_raster_config(
     num_channels_dummy = jnp.zeros((vertices.shape[0], 1), jnp.float32)
     if clip and config.clip_cap is None:
         # Measure the exact secondary-slot requirement so the clip
-        # compaction cannot overflow for this geometry.
-        n_in = inside_counts(vertices[faces])
-        live = int(jnp.sum((n_in == 2).astype(jnp.int32)))
+        # compaction cannot overflow for this geometry. Jitted: eager
+        # per-op dispatch pays a transport round trip each on tunneled
+        # backends.
+        live = int(jax.jit(
+            lambda v, f: jnp.sum((inside_counts(v[f]) == 2).astype(
+                jnp.int32))
+        )(vertices, faces))
         cap = min(max(int(live * margin), 8), faces.shape[0])
         config = config._replace(clip_cap=cap)
-    face_verts, _, config, _, _ = _clip_space_faces(
-        vertices, num_channels_dummy, faces, height, width,
-        config, clip,
-    )
-    return suggest_config(face_verts, height, width, config, margin)
+
+    def _fv(vertices, dummy, faces):
+        return _clip_space_faces(
+            vertices, dummy, faces, height, width, config, clip
+        )[0]
+
+    # Replicate _clip_space_faces's static streaming pin (it only
+    # mutates the config from static values).
+    cfg_out = config
+    if clip and config.streaming is None:
+        cfg_out = config._replace(
+            streaming=faces.shape[0] > STREAMING_FACES
+        )
+    face_verts = jax.jit(_fv)(vertices, num_channels_dummy, faces)
+    return suggest_config(face_verts, height, width, cfg_out, margin)
 
 
 def rasterise_batch(

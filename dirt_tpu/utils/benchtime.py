@@ -23,22 +23,30 @@ import jax.numpy as jnp
 
 
 def _loop_runner(fn, example_args, reps):
-    """Build a jitted scalar-returning function running ``fn`` reps times."""
+    """Build a jitted scalar-returning function running ``fn`` reps times.
 
-    def run():
+    The workload arrays are jit PARAMETERS, not closure constants: embedded
+    constants invite XLA constant-folding passes that blew the 1024^2
+    fwd+bwd runner up to a 227 MB executable and ~10 min of compile (the
+    same program with parameters: 8.7 MB, ~31 s). The data-dependent
+    perturbation below already defeats CSE across iterations either way.
+    """
+
+    def run(*args):
         def body(i, acc):
             # Perturb the first argument by a tiny data-dependent amount so
             # iterations cannot be collapsed; the perturbation (1e-30 * acc)
             # is far below f32 resolution of any practical input.
             eps = acc * 1e-30
-            args = [example_args[0] + eps] + list(example_args[1:])
-            out = fn(*args)
+            a = [args[0] + eps] + list(args[1:])
+            out = fn(*a)
             leaves = jax.tree_util.tree_leaves(out)
             s = sum(jnp.sum(leaf.astype(jnp.float32)) for leaf in leaves)
             return acc + s * 1e-30
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
-    return jax.jit(run)
+    jitted = jax.jit(run)
+    return lambda: jitted(*example_args)
 
 
 def device_time(fn, example_args, r1: int = 2, r2: int = 12,

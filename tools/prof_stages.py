@@ -28,7 +28,6 @@ from dirt_tpu.utils.compilecache import enable_compile_cache  # noqa: E402
 enable_compile_cache()
 
 import dirt_tpu  # noqa: E402
-from dirt_tpu.core import matrices, mesh  # noqa: E402
 from dirt_tpu.ops import binning  # noqa: E402
 from dirt_tpu.ops.raster import suggest_config  # noqa: E402
 from dirt_tpu.ops.triangle_setup import (  # noqa: E402
@@ -41,30 +40,18 @@ from dirt_tpu.utils.benchtime import device_time  # noqa: E402
 
 
 def build(size):
-    verts_obj, faces, _ = mesh.uv_sphere(n_lat=72, n_lon=72)
-    mv = matrices.compose(
-        matrices.rodrigues(jnp.array([0.4, 0.3, 0.0])),
-        matrices.translation(jnp.array([0.0, 0.0, -3.0])),
-    )
-    proj = matrices.perspective_projection(0.1, 20.0, 0.045, 1.0)
-    clip = matrices.transform_homogeneous(
-        jnp.asarray(verts_obj), matrices.compose(mv, proj)
-    )
-    colors = jnp.asarray(
-        np.random.RandomState(0).rand(len(verts_obj), 3), jnp.float32
-    )
-    bg = jnp.zeros((size, size, 3), jnp.float32)
-    weights = jnp.asarray(
-        np.random.RandomState(1).rand(size, size, 3), jnp.float32
-    )
-    return clip, colors, jnp.asarray(faces), bg, weights
+    from bench import build as bench_build  # same flagship scene
+
+    clip, colors, faces, bg, weights, _ = bench_build(size)
+    return clip, colors, faces, bg, weights
 
 
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     clip, colors, faces, bg, weights = build(size)
-    fv = screen_from_clip(clip, size, size)[faces]
-    fa = colors[faces]
+    fv, fa = jax.jit(
+        lambda cv, co, f: (screen_from_clip(cv, size, size)[f], co[f])
+    )(clip, colors, faces)
     config = suggest_config(fv, size, size)
     config = config.concrete(size)
     print(f"# config: {config}", file=sys.stderr)
@@ -87,23 +74,26 @@ def main():
         )
         return bins
 
-    def fwd(c, co, b):
+    # Big arrays are ARGUMENTS everywhere below: closure-captured image-
+    # size constants invite XLA constant-folding passes inside the timing
+    # loop (227 MB executables, ~10 min compiles — see bench.py).
+    def fwd(c, co, b, w):
         return dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False
         )
 
-    def loss(c, co, b):
+    def loss(c, co, b, w):
         img = dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False
         )
-        return jnp.sum(img * weights)
+        return jnp.sum(img * w)
 
     step = jax.grad(loss, argnums=(0, 1, 2))
 
     t_setup = device_time(stage_setup, (fv, fa))
     t_bin = device_time(stage_binning, (fv, fa))
-    t_fwd = device_time(fwd, (clip, colors, bg))
-    t_step = device_time(step, (clip, colors, bg))
+    t_fwd = device_time(fwd, (clip, colors, bg, weights))
+    t_step = device_time(step, (clip, colors, bg, weights))
     print(f"setup+bbox+edges   {t_setup*1e3:7.3f} ms")
     print(f"setup+binning      {t_bin*1e3:7.3f} ms "
           f"(binning ~{(t_bin-t_setup)*1e3:.3f})")
@@ -140,13 +130,15 @@ def main():
     expand = config.expand_cap
     bmax = -(-expand // binning.POOL_ALIGN)
 
-    def bwd_full(geo, att, grad_pixels):
+    def bwd_full(geo, att, fid_c, zbuf_c, pixels, grad_pixels):
         return backward_packed(
             geo, att, fid_c, zbuf_c, pixels, grad_pixels, bins,
             num_faces, tile_h, tile_w, bmax=bmax,
         )
 
-    t_bwdcore = device_time(bwd_full, (geo, att, grad_pixels))
+    t_bwdcore = device_time(
+        bwd_full, (geo, att, fid_c, zbuf_c, pixels, grad_pixels)
+    )
     print(f"bwd core (backward_packed) {t_bwdcore*1e3:7.3f} ms")
 
     # neighbor prologue alone
