@@ -434,6 +434,51 @@ def count_bins_exact(bbox, height, width, tile_h, tile_w):
     return counts, jnp.max(span)
 
 
+def _bbox_from_fv(fv, height, width):
+    """Device-side [F, 4] bbox from screen verts (counting-stage helper)."""
+    _, _, valid = setup_planes(
+        fv, jnp.zeros((fv.shape[0], 3, 1), jnp.float32)
+    )
+    return face_bboxes(fv, valid, height, width)
+
+
+def _subtile_spans(bbox, height, width, tile_h, tile_w):
+    """(span_x, span_y, span, valid) at 8x16-subtile granularity."""
+    hp = _pad_to(height, tile_h)
+    wp = _pad_to(width, tile_w)
+    tiles_y, tiles_x, strips, groups = binning.packed_grid(
+        hp, wp, tile_h, tile_w
+    )
+    gy_n = tiles_y * strips
+    gx_n = tiles_x * groups
+    gxmin = jnp.clip(bbox[:, 0] // binning.SUB_W, 0, gx_n - 1)
+    gxmax = jnp.clip(bbox[:, 1] // binning.SUB_W, 0, gx_n - 1)
+    gymin = jnp.clip(bbox[:, 2] // binning.SUB_H, 0, gy_n - 1)
+    gymax = jnp.clip(bbox[:, 3] // binning.SUB_H, 0, gy_n - 1)
+    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
+    span_x = jnp.where(valid, gxmax - gxmin + 1, 0)
+    span_y = jnp.where(valid, gymax - gymin + 1, 0)
+    return span_x, span_y, span_x * span_y, (gxmin, gymin)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _suggest_scalars(fv, height, width, tile_h, tile_w):
+    """Counting stage 1 — SCALARS ONLY across the transport.
+
+    On tunneled backends (axon) a host fetch of even a small ARRAY takes
+    seconds and occasionally minutes (measured 14 s typical / 400 s worst
+    for the old [F, 4] bbox fetch), while scalar fetches ride the ~40 ms
+    round trip. Every counting stage therefore reduces on device and
+    fetches scalars.
+    """
+    bbox = _bbox_from_fv(fv, height, width)
+    counts, max_span = count_bins_exact(
+        bbox, height, width, tile_h, tile_w
+    )
+    _, _, sub_span, _ = _subtile_spans(bbox, height, width, tile_h, tile_w)
+    return jnp.max(counts), max_span, jnp.max(sub_span)
+
+
 def suggest_config(
     face_verts_screen, height: int, width: int,
     config: RasterConfig | None = None, margin: float = 1.25,
@@ -446,30 +491,16 @@ def suggest_config(
     above the measured maxima (times ``margin`` headroom for scenes that
     move a little during optimization). Host-synchronizing — call it
     once OUTSIDE jit when ``rasterise_with_aux`` reports overflow (or
-    ahead of time), then render with the returned config.
+    ahead of time), then render with the returned config. All device
+    work is jitted and all fetches are scalars (see _suggest_scalars).
     """
     config = (config or RasterConfig()).concrete(height)
     num_faces = face_verts_screen.shape[0]
     streaming = use_streaming(config, num_faces)
     engine = resolve_engine(config, num_faces)
 
-    # One jitted device program + one host fetch: eagerly dispatched, the
-    # ~50 small setup/bbox ops each pay a full transport round trip on
-    # tunneled backends (measured minutes per suggest_config call at 10k
-    # faces on axon).
-    @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
-    def _device_part(fv, height, width, tile_h, tile_w):
-        _, _, valid = setup_planes(
-            fv, jnp.zeros((fv.shape[0], 3, 1), jnp.float32)
-        )
-        bbox = face_bboxes(fv, valid, height, width)
-        counts, max_span = count_bins_exact(
-            bbox, height, width, tile_h, tile_w
-        )
-        return bbox, jnp.max(counts), max_span
-
-    bbox, max_count, max_span = jax.device_get(
-        _device_part(
+    max_count, max_span, max_sub = jax.device_get(
+        _suggest_scalars(
             face_verts_screen, height, width,
             config.tile_h, config.tile_w,
         )
@@ -489,8 +520,9 @@ def suggest_config(
         # expand cap (8) silently-flagged on the flagship 10k-face
         # 1024^2 scene (true max span 24).
         exp, bud, pool = count_packed_exact(
-            bbox, height, width, config.tile_h, config.tile_w, margin,
+            None, height, width, config.tile_h, config.tile_w, margin,
             face_verts_screen=face_verts_screen,
+            max_subspan=int(max_sub),
         )
         kwargs["expand_cap"] = exp
         kwargs["budget"] = bud
@@ -498,16 +530,86 @@ def suggest_config(
     return config._replace(**kwargs)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _max_subspan_scalar(height, width, tile_h, tile_w, bbox):
+    _, _, span, _ = _subtile_spans(bbox, height, width, tile_h, tile_w)
+    return jnp.max(span)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _count_packed_device(
+    bbox, fv, height, width, tile_h, tile_w, e_max, expand, margin,
+):
+    """Counting stage 2 — device-side candidate enumeration, scalar out.
+
+    Returns (budget, pool_blocks_sum). Mirrors the candidate layout and
+    the exact triangle-vs-subtile edge filter of
+    ``binning.bin_faces_packed`` (same anchored edge planes, same
+    half-pixel slack) so the budget counts the iterations the kernels
+    actually execute.
+    """
+    if bbox is None:
+        bbox = _bbox_from_fv(fv, height, width)
+    bbox = jnp.asarray(bbox, jnp.int32)
+    hp = _pad_to(height, tile_h)
+    wp = _pad_to(width, tile_w)
+    tiles_y, tiles_x, strips, groups = binning.packed_grid(
+        hp, wp, tile_h, tile_w
+    )
+    nsid = tiles_y * tiles_x * strips * groups
+    span_x, span_y, span, (gxmin, gymin) = _subtile_spans(
+        bbox, height, width, tile_h, tile_w
+    )
+    al = binning.POOL_ALIGN
+    blocks = -(-jnp.minimum(span, expand) // al)
+    blocks_sum = jnp.sum(blocks)
+
+    # Candidate enumeration [F, e_max] (e_max = true max span, fetched as
+    # a scalar by the caller so the shape is static).
+    e = jnp.arange(e_max, dtype=jnp.int32)[None, :]
+    sx = jnp.maximum(span_x, 1)[:, None]
+    ey = e // sx
+    ex = e - ey * sx
+    gy = gymin[:, None] + ey
+    gx = gxmin[:, None] + ex
+    ok = e < jnp.minimum(span, expand)[:, None]
+    if fv is not None:
+        from dirt_tpu.ops.triangle_setup import edge_filter_cols
+
+        x0, y0, a0, b0, a1, b1, a2, b2, c0 = edge_filter_cols(fv)
+        rx0 = gx.astype(jnp.float32) * binning.SUB_W + 0.5 - x0[:, None]
+        ry0 = gy.astype(jnp.float32) * binning.SUB_H + 0.5 - y0[:, None]
+        zero = jnp.zeros_like(c0)
+        for a, b, c in ((a0, b0, c0), (a1, b1, zero), (a2, b2, zero)):
+            av, bv, cv = a[:, None], b[:, None], c[:, None]
+            emax = (av * rx0 + bv * ry0 + cv
+                    + jnp.maximum(av, 0.0) * (binning.SUB_W - 1)
+                    + jnp.maximum(bv, 0.0) * (binning.SUB_H - 1))
+            slack = 0.5 * jnp.sqrt(av * av + bv * bv)
+            ok = ok & (emax >= -slack)
+    t_id = (gy // strips) * tiles_x + gx // groups
+    sid = (t_id * strips + gy % strips) * groups + gx % groups
+    sid = jnp.where(ok, sid, nsid)
+    counts = jnp.zeros((nsid + 1,), jnp.int32).at[sid.reshape(-1)].add(
+        1, mode="drop"
+    )[:nsid].reshape(tiles_y, strips, tiles_x, groups)
+    n_iter = jnp.max(counts, axis=3)                  # [ty, strips, tx]
+    tile_iters = jnp.sum(n_iter, axis=1)              # [ty, tx]
+    ti_m = (tile_iters.astype(jnp.float32) * margin).astype(jnp.int32)
+    chunks = jnp.maximum(-(-ti_m // binning.PACK_ITERS), 1)
+    budget = jnp.sum(chunks) * binning.PACK_ITERS
+    return budget, blocks_sum
+
+
 def count_packed_exact(bbox, height: int, width: int, tile_h: int,
                        tile_w: int, margin: float = 1.25,
-                       face_verts_screen=None):
+                       face_verts_screen=None, max_subspan: int | None = None):
     """Exact (expand_cap, budget, pool_cap) for the packed engine.
 
     Counting half of count-then-allocate at subtile granularity.
-    Without geometry, per-subtile face counts come from 2D
-    inclusion-exclusion over the bbox ranges (O(F + subtiles)). With
-    ``face_verts_screen`` given, candidates are enumerated and run
-    through the SAME edge-overlap filter the binning applies
+    Without geometry, per-subtile face counts come from the bbox ranges
+    alone. With ``face_verts_screen`` given, candidates are run through
+    the SAME edge-overlap filter the binning applies
     (``triangle_setup.edge_filter_cols`` + half-pixel slack), so the
     budget reflects the iterations the kernels actually execute — on
     the 1024^2 bench sphere the filter drops ~1/3 of bbox candidates,
@@ -518,67 +620,31 @@ def count_packed_exact(bbox, height: int, width: int, tile_h: int,
     tile owns at least its init chunk, mirroring ``bin_faces_packed``).
     expand_cap / pool_cap stay bbox-based (the pool enumerates bbox
     candidates; filtering empties slots, it does not remove them).
-    Host-synchronizing numpy — call outside jit.
+
+    Host-synchronizing — call outside jit. All heavy math runs in two
+    jitted device programs; only SCALARS cross the transport (array
+    fetches on tunneled backends cost seconds to minutes).
+
+    ``bbox`` may be None when ``face_verts_screen`` is given (derived on
+    device); ``max_subspan`` skips the stage-1 scalar fetch when the
+    caller already knows it (suggest_config).
     """
-    import numpy as np
-
-    hp = _pad_to(height, tile_h)
-    wp = _pad_to(width, tile_w)
-    tiles_y, tiles_x, strips, groups = binning.packed_grid(
-        hp, wp, tile_h, tile_w
-    )
-    gy_n = tiles_y * strips
-    gx_n = tiles_x * groups
-    bbox = np.asarray(bbox, np.int32)
-    gxmin = np.clip(bbox[:, 0] // binning.SUB_W, 0, gx_n - 1)
-    gxmax = np.clip(bbox[:, 1] // binning.SUB_W, 0, gx_n - 1)
-    gymin = np.clip(bbox[:, 2] // binning.SUB_H, 0, gy_n - 1)
-    gymax = np.clip(bbox[:, 3] // binning.SUB_H, 0, gy_n - 1)
-    valid = (bbox[:, 1] >= bbox[:, 0]) & (bbox[:, 3] >= bbox[:, 2])
-    span_x = np.where(valid, gxmax - gxmin + 1, 0)
-    span_y = np.where(valid, gymax - gymin + 1, 0)
-    span = span_x * span_y
-    expand = max(int(span.max(initial=0) * margin), 1)
+    if bbox is not None:
+        bbox = jnp.asarray(bbox, jnp.int32)
+    if max_subspan is None:
+        if bbox is None:
+            bbox = jax.jit(
+                _bbox_from_fv, static_argnums=(1, 2)
+            )(face_verts_screen, height, width)
+        max_subspan = int(
+            _max_subspan_scalar(height, width, tile_h, tile_w, bbox)
+        )
+    e_max = max(int(max_subspan), 1)
+    expand = max(int(max_subspan * margin), 1)
+    budget, blocks_sum = jax.device_get(_count_packed_device(
+        bbox, face_verts_screen, height, width, tile_h, tile_w,
+        e_max, expand, float(margin),
+    ))
     al = binning.POOL_ALIGN
-    blocks = -(-np.minimum(span, expand) // al)
-    pool = int(int(blocks.sum()) * margin + 1) * al
-
-    # Candidate enumeration [F, E] in numpy (host-side; E = true max).
-    e_max = max(int(span.max(initial=0)), 1)
-    e = np.arange(e_max, dtype=np.int64)[None, :]
-    sx = np.maximum(span_x, 1)[:, None]
-    ey = e // sx
-    ex = e - ey * sx
-    gy = gymin[:, None] + ey
-    gx = gxmin[:, None] + ex
-    ok = e < np.minimum(span, expand)[:, None]
-    if face_verts_screen is not None:
-        from dirt_tpu.ops.triangle_setup import edge_filter_cols
-
-        # One jitted program + one fetch (see suggest_config).
-        cols = jax.device_get(jax.jit(edge_filter_cols)(face_verts_screen))
-        cols = [np.asarray(c) for c in cols]
-        x0, y0, a0, b0, a1, b1, a2, b2, c0 = cols
-        rx0 = gx * binning.SUB_W + 0.5 - x0[:, None]
-        ry0 = gy * binning.SUB_H + 0.5 - y0[:, None]
-        for a, b, c in ((a0, b0, c0), (a1, b1, 0.0), (a2, b2, 0.0)):
-            av, bv = a[:, None], b[:, None]
-            emax = (av * rx0 + bv * ry0
-                    + (np.asarray(c)[:, None] if np.ndim(c) else c)
-                    + np.maximum(av, 0.0) * (binning.SUB_W - 1)
-                    + np.maximum(bv, 0.0) * (binning.SUB_H - 1))
-            slack = 0.5 * np.sqrt(av * av + bv * bv)
-            ok &= emax >= -slack
-    t_id = (gy // strips) * tiles_x + gx // groups
-    sid = (t_id * strips + gy % strips) * groups + gx % groups
-    nsid = tiles_y * tiles_x * strips * groups
-    counts = np.bincount(sid[ok].reshape(-1), minlength=nsid)
-    counts = counts.reshape(tiles_y, strips, tiles_x, groups)
-    n_iter = counts.max(axis=3)                       # [ty, strips, tx]
-    tile_iters = n_iter.sum(axis=1)                   # [ty, tx]
-    chunks = np.maximum(
-        -(-(tile_iters * margin).astype(np.int64) // binning.PACK_ITERS),
-        1,
-    )
-    budget = int(chunks.sum()) * binning.PACK_ITERS
-    return expand, budget, pool
+    pool = int(int(blocks_sum) * margin + 1) * al
+    return expand, int(budget), pool
