@@ -14,3 +14,13 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache for the suite: tests re-jit many identical
+# HLO programs (same kernels, same shapes, different test functions) and
+# the cache is keyed by HLO hash, so it dedups compiles both within one
+# run and across runs on this 1-core CPU environment.
+from dirt_tpu.utils.compilecache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache(
+    os.environ.get("DIRT_TPU_TEST_CACHE", "/tmp/dirt_tpu_test_xla_cache")
+)

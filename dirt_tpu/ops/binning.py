@@ -404,7 +404,7 @@ def auto_pool_cap(num_faces: int, expand_cap: int) -> int:
 def bin_faces_packed(
     bbox, height: int, width: int, tile_h: int, tile_w: int,
     budget_iters: int, expand_cap: int,
-    edges=None, pool_cap: int | None = None,
+    edges=None, pool_cap: int | None = None, _stage: int = 0,
 ) -> PackedBins:
     """Lane-packed subtile binning (see :class:`PackedBins`).
 
@@ -426,14 +426,17 @@ def bin_faces_packed(
     4. grid-level prefix math (max over groups -> iterations per strip ->
        per-tile chunk spans, water-filled so every tile keeps >= 1 chunk
        even when the budget overflows);
-    5. per-row source positions: run starts (prefix sums over sid) are
-       scattered at the nsid strip-start slots of the [rows/8, 8] grid
-       and propagated down each lane column by cummax;
-    6. entries are BUILT BY ONE ROW GATHER from the sorted pair array
-       (rows failing the run-end bound keep the strip-aware sentinel
-       default from an interval-marks cumsum). No placement scatter, no
-       second sort: the gather construction replaced both (0.85 ms ->
-       ~0.3 ms at 1024^2 / 10k faces).
+    5. per-pair placement: run starts (prefix sums over sid) scattered at
+       nsid header slots + cummax give every sorted pair its budget row
+       (block-row = strip start + in-run rank, lane = sid % groups);
+    6. entries are BUILT BY ONE PAIR SCATTER onto strip-aware sentinel
+       defaults. The placement math is shared verbatim with the
+       backward's pair_rows inverse (round 3's separate gather
+       construction cost ~1.3 ms in-graph vs ~0.7 ms for the scatter).
+
+    ``_stage`` > 0 returns early with a checksum scalar after pipeline
+    stage N (profiling hook for tools/prof_binning.py — cumulative stage
+    timings on the real chip without duplicating this function).
     """
     bxmin, bxmax, bymin, bymax = _bbox_cols(bbox)
     nf = bxmin.shape[0]
@@ -487,6 +490,8 @@ def bin_faces_packed(
     neg_pool = jnp.full((pool_cap,), -1, jnp.int32)
     face_of = jax.lax.cummax(neg_pool.at[slot0].set(fidx, mode="drop"))
     s0_of = jax.lax.cummax(neg_pool.at[slot0].set(slot0, mode="drop"))
+    if _stage == 11:
+        return jnp.sum(face_of) + jnp.sum(s0_of)
 
     # Per-face fields, one row gather (ints are exact in f32 < 2^24).
     ftbl_cols = [
@@ -501,15 +506,28 @@ def bin_faces_packed(
         ftbl_cols + [jnp.zeros((nf,), jnp.float32)] * pad_cols, axis=1
     )
     frow = ftbl[jnp.clip(face_of, 0, nf - 1)]        # [pool_cap, 8/16]
+    # Column reads of a [pool, 16] array are strided lane accesses that
+    # scalarize into a relayout pass EACH (~0.5 ms across the 13 reads
+    # below at pool ~100k, measured round 4); one explicit transpose
+    # makes every per-field read a free row slice.
+    frow_t = frow.T                                  # [8/16, pool_cap]
 
     p_iota = jnp.arange(pool_cap, dtype=jnp.int32)
     e = p_iota - s0_of                               # candidate rank
-    sx = jnp.maximum(frow[:, 2].astype(jnp.int32), 1)
-    ey = e // sx
+    sx = jnp.maximum(frow_t[2].astype(jnp.int32), 1)
+    # e // sx via f32 division + one fixup step: int32 division has no
+    # VPU hardware and lowers to a long instruction sequence. Both
+    # operands are < 2^17 so the f32 quotient is within one ulp of the
+    # true value and can only err by rounding UP across an integer
+    # boundary — ey * sx > e detects exactly that case.
+    ey = (e.astype(jnp.float32) / frow_t[2]).astype(jnp.int32)
+    ey = jnp.where(ey * sx > e, ey - 1, ey)
     ex = e - ey * sx
-    gy = frow[:, 1].astype(jnp.int32) + ey
-    gx = frow[:, 0].astype(jnp.int32) + ex
-    pair_ok = (face_of >= 0) & (e < frow[:, 3].astype(jnp.int32))
+    gy = frow_t[1].astype(jnp.int32) + ey
+    gx = frow_t[0].astype(jnp.int32) + ex
+    pair_ok = (face_of >= 0) & (e < frow_t[3].astype(jnp.int32))
+    if _stage == 12:
+        return jnp.sum(gy) + jnp.sum(gx) + jnp.sum(pair_ok)
     if edges is not None:
         # Exact conservative triangle-vs-subtile overlap test: drop bbox
         # candidates whose 8x16 pixel-center rect lies more than half a
@@ -518,19 +536,21 @@ def bin_faces_packed(
         # acceptance only costs kernel time; the half-pixel slack makes
         # false rejection impossible under f32 rounding. Cuts the
         # silhouette-heavy tail of bbox jobs (~1/3 on the bench sphere).
-        rx0 = gx.astype(jnp.float32) * SUB_W + 0.5 - frow[:, 4]
-        ry0 = gy.astype(jnp.float32) * SUB_H + 0.5 - frow[:, 5]
+        rx0 = gx.astype(jnp.float32) * SUB_W + 0.5 - frow_t[4]
+        ry0 = gy.astype(jnp.float32) * SUB_H + 0.5 - frow_t[5]
         keep = pair_ok
         for k in range(3):
-            a = frow[:, 6 + 2 * k]
-            b = frow[:, 7 + 2 * k]
-            c = frow[:, 12] if k == 0 else 0.0
+            a = frow_t[6 + 2 * k]
+            b = frow_t[7 + 2 * k]
+            c = frow_t[12] if k == 0 else 0.0
             emax = (a * rx0 + b * ry0 + c
                     + jnp.maximum(a, 0.0) * (SUB_W - 1)
                     + jnp.maximum(b, 0.0) * (SUB_H - 1))
             slack = 0.5 * jnp.sqrt(a * a + b * b)
             keep = keep & (emax >= -slack)
         pair_ok = keep
+    if _stage == 13:
+        return jnp.sum(gy) + jnp.sum(gx) + jnp.sum(pair_ok)
     t_id = (gy // strips) * tiles_x + gx // groups
     sid_p = jnp.where(
         pair_ok,
@@ -538,6 +558,8 @@ def bin_faces_packed(
         nsid,
     ).astype(jnp.int32)
     face_p = jnp.maximum(face_of, 0)
+    if _stage == 1:
+        return jnp.sum(sid_p) + jnp.sum(face_p)
 
     # --- 2. merged sort #1: pairs + headers ----------------------------
     hdr_sid = jnp.arange(nsid, dtype=jnp.int32)
@@ -563,6 +585,8 @@ def bin_faces_packed(
     run_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     rank = iota - run_start            # header rank 0, real pairs 1..len
     is_end = jnp.concatenate([sid_s[1:] != sid_s[:-1], jnp.ones((1,), bool)])
+    if _stage == 2:
+        return jnp.sum(rank) + jnp.sum(face_s) + jnp.sum(is_end)
 
     # --- 3. per-subtile counts via compaction sort + tiny scatter -----
     end_key = jnp.where(is_end & (sid_s < nsid), sid_s, nsid)
@@ -570,6 +594,8 @@ def bin_faces_packed(
     counts = jnp.zeros((nsid,), jnp.int32).at[key_c[:nsid]].set(
         len_c[:nsid], mode="drop"
     ).reshape(total, strips, groups)
+    if _stage == 3:
+        return jnp.sum(counts) + jnp.sum(rank)
 
     # --- 4. grid prefix math ------------------------------------------
     n_iter = jnp.max(counts, axis=2)                        # [T, S]
@@ -598,36 +624,29 @@ def bin_faces_packed(
         + GROUPS * iter_off[:, :, None]
         + jnp.arange(groups, dtype=jnp.int32)[None, None, :]
     )                                                        # [T, S, G]
+    if _stage == 4:
+        return (jnp.sum(rowstart) + jnp.sum(limit_rows)
+                + jnp.sum(n_iters_eff) + jnp.sum(rank))
 
-    # --- 5. per-row run metadata via strip-start scatters + cummax ----
-    # Entries are BUILT BY GATHER, not placed by scatter (the [n_pairs]
-    # placement scatter cost 0.62 ms at 1024^2/10k faces — the largest
-    # single binning term — and needed a second 4-column merged sort to
-    # propagate destinations; both are gone). The layout is regular: in
-    # the [budget_rows/8, 8] view (block-row j, column g), strip starts
-    # are 8-row-aligned, so row (j, g) of the strip starting at block-row
-    # X8 holds job rank k = j - X8 of subtile (tile, strip, group g) —
-    # whose source position in the sorted pair array is
-    # ``A[sid] + 1 + k`` (A = header-inclusive run start, a plain prefix
-    # sum of counts + 1 over sid). A and the run-end bound A_next are
-    # scattered at ONLY the nsid strip-start slots and propagated down
-    # each column with a cummax (both are strictly increasing in sid, and
-    # column scatter rows strictly increase per non-empty strip, so the
-    # propagation is exact); X8 propagates the same way on the flat
-    # block-row axis. Rows whose k >= counts[sid] fail ``src < A_next``
-    # and keep the strip-aware sentinel default.
-    # All grids live TRANSPOSED as [GROUPS, r8] (block-row on the LANE
-    # axis) — [r8, 8] arrays use 8 of 128 lanes and their axis-0 scans
-    # run at 1/16 lane utilization (measured 3x total regression).
+    # --- 5. pair placement via per-run cummax --------------------------
+    # For sorted pair p of subtile sid with in-run rank k = rank - 1, its
+    # budget position is block-row j = x8[sid] + k, lane g = sid % groups,
+    # i.e. row 8 j + g (bijective on valid pairs: strip runs are disjoint
+    # row ranges and ranks are dense within a run). Per-run x8 /
+    # row-limit values spread scatter-free: sid h's header sits at sorted
+    # position a_start[h] (runs are header-inclusive, so a_start is
+    # strictly increasing and header slots are distinct), both fields are
+    # non-decreasing in sid, so an nsid-slot scatter + cummax propagates
+    # them to every pair of the run. The same placement serves the
+    # forward (entries scatter, step 6) and the backward (pair_rows
+    # inverse below) — round 3's separate [8, r8] destination-grid
+    # scans + [n_merged, 8] broadcast + row-gather construction measured
+    # ~1.3 ms in-graph at 1024^2/10k faces vs ~0.7 ms for the scatter.
     r8 = budget_rows // GROUPS
     counts_flat = counts.reshape(-1)                      # [nsid]
     run_len = counts_flat + 1                             # + header
     a_start = _scan_sum(run_len) - run_len                # [nsid]
-    a_next = a_start + run_len
 
-    n_iter_sid = jnp.broadcast_to(
-        n_iter[:, :, None], (total, strips, groups)
-    ).reshape(-1)
     limit8_sid = jnp.broadcast_to(
         (limit_rows // GROUPS)[:, None, None], (total, strips, groups)
     ).reshape(-1)
@@ -635,22 +654,29 @@ def bin_faces_packed(
         (rowstart[:, :, 0] // GROUPS)[:, :, None],
         (total, strips, groups),
     ).reshape(-1)
-    g_sid = jnp.tile(jnp.arange(groups, dtype=jnp.int32), nsid // groups)
-    # Overflow spill guard: a strip start at/past its tile's row limit
-    # would collide with the next tile's start slot — drop it (its jobs
-    # are already counted by the n_iters_eff truncation flag).
-    scatter_ok = (n_iter_sid > 0) & (x8_sid < limit8_sid)
-    # Flat 1D scatters (2D-index scatters take the slow per-element path).
-    slot_t = jnp.where(scatter_ok, g_sid * r8 + x8_sid, GROUPS * r8)
-    neg = jnp.full((GROUPS * r8,), -1, jnp.int32)
-    a_grid = _scan_max(
-        neg.at[slot_t].set(a_start, mode="drop").reshape(GROUPS, r8),
-        axis=1,
-    )                                                     # [8, r8]
-    a_next_grid = _scan_max(
-        neg.at[slot_t].set(a_next, mode="drop").reshape(GROUPS, r8),
-        axis=1,
+    neg_m = jnp.full((n_merged,), -1, jnp.int32)
+    x8_run = jax.lax.cummax(neg_m.at[a_start].set(x8_sid))
+    lim8_run = jax.lax.cummax(neg_m.at[a_start].set(limit8_sid))
+    k_p = rank - 1
+    j_p = x8_run + k_p
+    sid_c = jnp.minimum(sid_s, nsid - 1)
+    # Overflow spill guard: rows at/past the tile's chunk allocation are
+    # dropped (their jobs are already counted by the n_iters_eff
+    # truncation flag).
+    valid_p = (
+        (rank >= 1) & (face_s >= 0) & (sid_s < nsid)
+        & (x8_run >= 0) & (j_p < lim8_run)
     )
+    row_val = jnp.where(
+        valid_p, j_p * GROUPS + sid_c % groups, budget_rows
+    ).astype(jnp.int32)
+    if _stage == 5:
+        return jnp.sum(row_val) + jnp.sum(rank)
+
+    # --- 6. entries: strip-aware defaults + ONE pair scatter ----------
+    # Strip index per block-row (strip starts are 8-row-aligned), for the
+    # sentinel defaults: empty rows must carry their strip's index so the
+    # kernels' strip-run arithmetic stays consistent.
     strip_start8 = rowstart[:, :, 0].reshape(-1) // GROUPS  # [T*S]
     strip_ok = (n_iter.reshape(-1) > 0) & (
         strip_start8
@@ -658,59 +684,28 @@ def bin_faces_packed(
             (limit_rows // GROUPS)[:, None], (total, strips)
         ).reshape(-1)
     )
-    x8_grid = _scan_max(
-        jnp.full((r8,), -1, jnp.int32).at[
-            jnp.where(strip_ok, strip_start8, r8)
-        ].set(strip_start8, mode="drop")
-    )                                                     # [r8]
-    # Strip index per block-row (for the strip-aware sentinel defaults).
     smarks = jnp.zeros((r8,), jnp.int32).at[
         jnp.where(strip_ok, strip_start8, r8)
     ].add(1, mode="drop")
-    s_row8 = (jnp.cumsum(smarks) - 1) % strips            # [r8]
+    s_row8 = (_scan_sum(smarks) - 1) % strips             # [r8]
 
-    j_idx = jnp.arange(r8, dtype=jnp.int32)[None, :]      # [1, r8]
-    src = a_grid + 1 + (j_idx - x8_grid[None, :])         # [8, r8]
-    valid = (a_grid >= 0) & (src < a_next_grid)
-    src_c = jnp.clip(src, 0, n_merged - 1)
+    # sid = (t * strips + s) * groups + g  =>  (sid // groups) % strips
+    # is the pair's strip (groups/strips are powers of two: shift+mask).
+    value = face_s * 8 + (sid_c // groups) % strips
+    defaults = jnp.broadcast_to(
+        (nf * 8 + s_row8)[:, None], (r8, GROUPS)
+    ).reshape(-1).astype(jnp.int32)
+    entries = defaults.at[row_val].set(
+        value.astype(jnp.int32), mode="drop"
+    )
+    if _stage == 6:
+        return jnp.sum(entries) + jnp.sum(rank)
 
-    # --- 6. entries: strip-aware defaults + ONE row gather ------------
-    # Width-8 broadcast source: [n, 1] row gathers take a slow path
-    # (0.85 ms) where >= 8-lane rows run at ~2.4 ns/row (0.30 ms).
-    face_w = jnp.broadcast_to(face_s[:, None], (n_merged, 8))
-    gathered = face_w[src_c.reshape(-1)][:, 0].reshape(GROUPS, r8)
-    entries_t = jnp.where(
-        valid & (gathered >= 0),
-        gathered * 8 + s_row8[None, :],
-        nf * 8 + s_row8[None, :],
-    )                                                     # [8, r8]
-    entries = entries_t.T.reshape(-1).astype(jnp.int32)
-
-    # --- backward pair backpointers (inverse of the entries gather) ---
-    # For sorted pair p of subtile sid with in-run rank k = rank - 1, the
-    # entries construction above places it at block-row j = x8[sid] + k,
-    # lane g = sid % groups, i.e. budget row 8 j + g (see step 5/6; the
-    # placement is bijective on valid pairs). Per-run x8 / row-limit
-    # values spread scatter-free: sid h's header sits at sorted position
-    # a_start[h] (runs are header-inclusive), both fields are
-    # non-decreasing in sid, so an nsid-slot scatter + cummax propagates
-    # them to every pair of the run. A second (q, row) sort then unsorts
-    # the rows to the face-major [F, E] grid. Consumed only by
-    # ``packed_bwd``; forward-only graphs DCE this whole block.
+    # --- backward pair backpointers (inverse of the entries scatter) ---
+    # A second (q, row) sort unsorts the placement rows to the
+    # face-major [F, E] pool grid. Consumed only by ``packed_bwd``;
+    # forward-only graphs DCE this block.
     if want_pair_rows:
-        neg_m = jnp.full((n_merged,), -1, jnp.int32)
-        x8_run = jax.lax.cummax(neg_m.at[a_start].set(x8_sid))
-        lim8_run = jax.lax.cummax(neg_m.at[a_start].set(limit8_sid))
-        k_p = rank - 1
-        j_p = x8_run + k_p
-        sid_c = jnp.minimum(sid_s, nsid - 1)
-        valid_p = (
-            (rank >= 1) & (face_s >= 0) & (sid_s < nsid)
-            & (x8_run >= 0) & (j_p < lim8_run)
-        )
-        row_val = jnp.where(
-            valid_p, j_p * GROUPS + sid_c % groups, budget_rows
-        ).astype(jnp.int32)
         _, row_sorted = jax.lax.sort((q_s, row_val), num_keys=1)
         pair_rows = row_sorted[:pool_cap]
         pool_offs = jnp.concatenate(
@@ -719,6 +714,11 @@ def bin_faces_packed(
     else:
         pair_rows = None
         pool_offs = None
+    if _stage == 7:
+        chk = jnp.sum(entries)
+        if pair_rows is not None:
+            chk = chk + jnp.sum(pair_rows) + jnp.sum(pool_offs)
+        return chk
 
     # --- chunk -> tile map via interval marks -------------------------
     cmarks = jnp.zeros((budget_chunks,), jnp.int32).at[

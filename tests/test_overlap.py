@@ -9,6 +9,7 @@ itself needs real multi-chip hardware.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 import dirt_tpu
@@ -88,6 +89,7 @@ PACKED_CFG = RasterConfig(
 )
 
 
+@pytest.mark.slow
 def test_production_overlapped_arbitrary_cotangents():
     """rasterise_sharded(overlap_chunks=N): packed fused backward, sliced
     into per-chunk psums, under an ARBITRARY downstream loss (custom_vjp,
@@ -127,6 +129,7 @@ def test_production_overlapped_arbitrary_cotangents():
     assert np.abs(np.asarray(g_ref[0])).max() > 0
 
 
+@pytest.mark.slow
 def test_production_overlapped_chunk_invariance():
     """overlap_chunks=1 == overlap_chunks=4 on the packed path."""
     from dirt_tpu.parallel.overlap import rasterise_overlapped

@@ -66,6 +66,7 @@ def test_config3_textured_gbuffer():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.slow
 def test_config4_lit_gradients_to_light_and_pose():
     verts_obj, faces, _ = _cube_clip()
     verts_obj = jnp.asarray(verts_obj)

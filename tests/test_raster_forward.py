@@ -216,7 +216,10 @@ PACKED = RasterConfig(engine="packed")
 
 
 @pytest.mark.parametrize("case", [
-    "single", "depth", "perspective", "odd_size", "soup", "windings",
+    pytest.param("single", marks=pytest.mark.slow),
+    "depth", "perspective",
+    pytest.param("odd_size", marks=pytest.mark.slow),
+    "soup", "windings",
 ])
 def test_packed_engine_matches_oracle(case):
     rng = np.random.RandomState(11)

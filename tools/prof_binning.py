@@ -50,17 +50,36 @@ def main():
     tiles_y, tiles_x = hp // tile_h, wp // tile_w
     nsid = tiles_y * tiles_x * strips * groups
 
-    def full(fv, fa):
-        geo, att, valid = setup_planes(fv, fa)
-        bbox = face_bbox_cols(fv, valid, size, size)
-        edges = edge_filter_cols(fv)
-        return binning.bin_faces_packed(
-            bbox, hp, wp, tile_h, tile_w, config.budget,
-            config.expand_cap, edges=edges, pool_cap=config.pool_cap,
-        )
+    def staged(stage):
+        def fn(fv, fa):
+            geo, att, valid = setup_planes(fv, fa)
+            bbox = face_bbox_cols(fv, valid, size, size)
+            edges = edge_filter_cols(fv)
+            return binning.bin_faces_packed(
+                bbox, hp, wp, tile_h, tile_w, config.budget,
+                config.expand_cap, edges=edges, pool_cap=config.pool_cap,
+                _stage=stage,
+            )
+        return fn
 
-    t_full = device_time(full, (fv, fa))
+    t_full = device_time(staged(0), (fv, fa))
     print(f"full setup+binning      {t_full*1e3:7.3f} ms")
+
+    # Cumulative stage timings (fv is the perturbed float arg, so the
+    # workload cannot CSE-collapse; _stage returns a checksum scalar).
+    names = [
+        (11, "1a pool face_of/s0_of"), (12, "1b pool ey/ex div + frow"),
+        (13, "1c pool edge filter"), (1, "1 pool construction"),
+        (2, "2 merged sort + rank"), (3, "3 subtile counts"),
+        (4, "4 grid prefix math"), (5, "5 pair placement"),
+        (6, "6 entries scatter"),
+        (7, "7 pair_rows (bwd inverse)"),
+    ]
+    prev = 0.0
+    for stage, name in names:
+        t = device_time(staged(stage), (fv, fa), r2=24)
+        print(f"  thru {name:29s} {t*1e3:7.3f} ms (+{(t-prev)*1e3:6.3f})")
+        prev = t
 
     pool_cap = config.pool_cap
     budget_rows = config.budget * binning.GROUPS
@@ -122,12 +141,14 @@ def main():
     )
     print(f"assoc_scan max [pool]      {t*1e3:7.3f} ms")
 
-    # Scatters at candidate counts.
+    # Scatters at candidate counts (float first arg defeats the int-
+    # workload collapse in device_time's perturbation).
+    fz = jnp.zeros((8,), jnp.float32)
     upd = jnp.asarray(rng.randint(0, nsid, pool_cap), jnp.int32)
     t = device_time(
-        lambda u: jnp.zeros((nsid + 1,), jnp.int32).at[u].add(1,
-                                                             mode="drop"),
-        (upd,), r2=32,
+        lambda z, u: jnp.zeros((nsid + 1,), jnp.int32).at[
+            u + z[0].astype(jnp.int32)].add(1, mode="drop"),
+        (fz, upd), r2=32,
     )
     print(f"scatter-add pool->nsid     {t*1e3:7.3f} ms")
     slot0 = jnp.asarray(
@@ -135,11 +156,21 @@ def main():
     )
     fidx = jnp.arange(10224, dtype=jnp.int32)
     t = device_time(
-        lambda s, f: jnp.full((pool_cap,), -1, jnp.int32).at[s].set(
-            f, mode="drop"),
-        (slot0, fidx), r2=32,
+        lambda z, s, f: jnp.full((pool_cap,), -1, jnp.int32).at[
+            s + z[0].astype(jnp.int32)].set(f, mode="drop"),
+        (fz, slot0, fidx), r2=32,
     )
     print(f"scatter-set F->pool        {t*1e3:7.3f} ms")
+    t = device_time(
+        lambda z, u: jax.lax.cummax(u + z[0].astype(jnp.int32)),
+        (fz, q), r2=32,
+    )
+    print(f"cummax [merged] (fixed)    {t*1e3:7.3f} ms")
+    t = device_time(
+        lambda z, u: jax.lax.cummax(u + z[0].astype(jnp.int32)),
+        (fz, pidx), r2=32,
+    )
+    print(f"cummax [pool] (fixed)      {t*1e3:7.3f} ms")
 
 
 if __name__ == "__main__":
