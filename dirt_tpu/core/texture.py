@@ -81,6 +81,18 @@ def _continuous_coords(texture, uv):
     return u, v
 
 
+def _wrap_axes(wrap):
+    """Normalize ``wrap`` to (wrap_u, wrap_v); accepts one mode or a pair."""
+    if isinstance(wrap, (tuple, list)):
+        wu, wv = wrap
+    else:
+        wu = wv = wrap
+    for w in (wu, wv):
+        if w not in ("clamp", "repeat"):
+            raise ValueError(f"unknown wrap mode: {w!r}")
+    return wu, wv
+
+
 def _wrap_index(idx, size, wrap):
     if wrap == "clamp":
         return jnp.clip(idx, 0, size - 1)
@@ -89,19 +101,25 @@ def _wrap_index(idx, size, wrap):
     raise ValueError(f"unknown wrap mode: {wrap!r}")
 
 
+def _shift_minus1(m, axis, wrap):
+    """Shift by one along ``axis`` with the wrap mode's edge handling."""
+    if wrap == "repeat":
+        return jnp.roll(m, -1, axis=axis)
+    n = m.shape[axis]
+    body = jax.lax.slice_in_dim(m, 1, n, axis=axis)
+    last = jax.lax.slice_in_dim(m, n - 1, n, axis=axis)
+    return jnp.concatenate([body, last], axis=axis)
+
+
 def _pack_corners(texture, wrap):
     """[Ht*Wt, 4C] row table: each texel's (self, right, down, down-right)
-    bilinear corners in one row, honoring the wrap mode, so one flat
-    row-gather fetches all four corners."""
+    bilinear corners in one row, honoring the per-axis wrap modes, so one
+    flat row-gather fetches all four corners."""
     ht, wt, channels = texture.shape
-    if wrap == "repeat":
-        right = jnp.roll(texture, -1, axis=1)
-        down = jnp.roll(texture, -1, axis=0)
-        downright = jnp.roll(down, -1, axis=1)
-    else:  # clamp: the last row/column are their own neighbors
-        right = jnp.concatenate([texture[:, 1:], texture[:, -1:]], axis=1)
-        down = jnp.concatenate([texture[1:], texture[-1:]], axis=0)
-        downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    wu, wv = _wrap_axes(wrap)
+    right = _shift_minus1(texture, 1, wu)
+    down = _shift_minus1(texture, 0, wv)
+    downright = _shift_minus1(down, 1, wu)
     return jnp.concatenate(
         [texture, right, down, downright], axis=-1
     ).reshape(ht * wt, 4 * channels)
@@ -128,6 +146,7 @@ def _shift_adjoint(m, axis, wrap):
 
 def _pack_corners_adjoint(pbar, ht, wt, channels, wrap):
     """Transpose of :func:`_pack_corners`: [Ht*Wt, 4C] cot -> [Ht,Wt,C]."""
+    wu, wv = _wrap_axes(wrap)
     maps = pbar.reshape(ht, wt, 4, channels)
     m0 = maps[:, :, 0]
     m1 = maps[:, :, 1]
@@ -137,18 +156,19 @@ def _pack_corners_adjoint(pbar, ht, wt, channels, wrap):
     # m0 + R†(m1) + D†(m2) + D†(R†(m3)).
     return (
         m0
-        + _shift_adjoint(m1, 1, wrap)
-        + _shift_adjoint(m2, 0, wrap)
-        + _shift_adjoint(_shift_adjoint(m3, 1, wrap), 0, wrap)
+        + _shift_adjoint(m1, 1, wu)
+        + _shift_adjoint(m2, 0, wv)
+        + _shift_adjoint(_shift_adjoint(m3, 1, wu), 0, wv)
     )
 
 
 def _nearest_cf(texture, uv, wrap):
     ht, wt, channels = texture.shape
+    wu, wv = _wrap_axes(wrap)
     u, v = _continuous_coords(texture, uv)
     batch_shape = uv.shape[:-1]
-    iu = _wrap_index(jnp.round(u).astype(jnp.int32), wt, wrap)
-    iv = _wrap_index(jnp.round(v).astype(jnp.int32), ht, wrap)
+    iu = _wrap_index(jnp.round(u).astype(jnp.int32), wt, wu)
+    iv = _wrap_index(jnp.round(v).astype(jnp.int32), ht, wv)
     flat = texture.reshape(ht * wt, channels)
     rows = flat[(iv * wt + iu).reshape(-1)]            # [N, C]
     return rows.T.reshape((channels,) + batch_shape)
@@ -157,20 +177,22 @@ def _nearest_cf(texture, uv, wrap):
 def _bilinear_ingredients(texture, uv, wrap):
     """(ids [N], fu, fv [*batch], corners t00/t01/t10/t11 [C, *batch])."""
     ht, wt, channels = texture.shape
+    wu, wv = _wrap_axes(wrap)
     u, v = _continuous_coords(texture, uv)
     batch_shape = uv.shape[:-1]
-    if wrap == "clamp":
-        # Clamp the continuous coordinate: edge samples then get fu/fv = 0
-        # against the (self-neighboring) last texel, matching the
-        # corner-wise clamp semantics exactly.
+    # Clamp the continuous coordinate (per clamped axis): edge samples
+    # then get fu/fv = 0 against the (self-neighboring) last texel,
+    # matching the corner-wise clamp semantics exactly.
+    if wu == "clamp":
         u = jnp.clip(u, 0.0, wt - 1.0)
+    if wv == "clamp":
         v = jnp.clip(v, 0.0, ht - 1.0)
     u0f = jnp.floor(u)
     v0f = jnp.floor(v)
     fu = u - u0f
     fv = v - v0f
-    u0 = _wrap_index(u0f.astype(jnp.int32), wt, wrap)
-    v0 = _wrap_index(v0f.astype(jnp.int32), ht, wrap)
+    u0 = _wrap_index(u0f.astype(jnp.int32), wt, wu)
+    v0 = _wrap_index(v0f.astype(jnp.int32), ht, wv)
     ids = (v0 * wt + u0).reshape(-1)
 
     packed = _pack_corners(texture, wrap)
