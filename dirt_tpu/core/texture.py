@@ -39,7 +39,8 @@ def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
         uv: [..., 2] float, u right / v up in [0, 1]; (0, 0) is the
             bottom-left texel corner (OpenGL convention).
         mode: "bilinear" or "nearest".
-        wrap: "clamp" or "repeat".
+        wrap: "clamp" or "repeat", or a ``(wrap_u, wrap_v)`` pair for
+            per-axis modes (GL_CLAMP_TO_EDGE / GL_REPEAT per axis).
         channels_first: return [C, ...] instead of [..., C] (cheaper for
             TPU pipelines that shade channels-first).
         custom_vjp: use the scatter-free hand-written gradient path for
@@ -50,6 +51,10 @@ def sample_texture(texture, uv, mode: str = "bilinear", wrap: str = "clamp",
     """
     texture = jnp.asarray(texture)
     uv = jnp.asarray(uv)
+    # Normalize to a hashable per-axis tuple up front: ``wrap`` is a
+    # custom_vjp nondiff arg (a list would fail tracing-cache hashing),
+    # and every downstream branch is per-axis.
+    wrap = _wrap_axes(wrap)
 
     if mode == "nearest":
         rows_c = _nearest_cf(texture, uv, wrap)
@@ -322,11 +327,18 @@ def _bilinear_bwd(wrap, res, g):
     d_dv = (1.0 - fu_b) * (t10 - t00) + fu_b * (t11 - t01)
     gu = jnp.sum(g * d_du, axis=0)                      # [*batch]
     gv = jnp.sum(g * d_dv, axis=0)
-    if wrap == "clamp":
-        # Through the coordinate clamp: zero outside the valid range.
+    # Through the coordinate clamp: zero outside the valid range, PER
+    # AXIS — a mixed ("clamp", "repeat") pair clamps only u. (A previous
+    # version tested ``wrap == "clamp"`` on the whole spec, silently
+    # skipping the guard for mixed tuples: out-of-range samples then got
+    # a nonzero UV gradient along the clamped axis.)
+    wu, wv = _wrap_axes(wrap)
+    if wu == "clamp" or wv == "clamp":
         u_pre, v_pre = _continuous_coords(texture, uv)
-        gu = jnp.where((u_pre > 0.0) & (u_pre < wt - 1.0), gu, 0.0)
-        gv = jnp.where((v_pre > 0.0) & (v_pre < ht - 1.0), gv, 0.0)
+        if wu == "clamp":
+            gu = jnp.where((u_pre > 0.0) & (u_pre < wt - 1.0), gu, 0.0)
+        if wv == "clamp":
+            gv = jnp.where((v_pre > 0.0) & (v_pre < ht - 1.0), gv, 0.0)
     # u = uv_u * wt - 0.5 ; v = (1 - uv_v) * ht - 0.5.
     g_uv = jnp.stack([gu * wt, gv * (-ht)], axis=-1)
     return g_tex.astype(texture.dtype), g_uv.reshape(batch_shape + (2,))
