@@ -32,12 +32,17 @@ from dirt_tpu.ops.raster import RasterConfig  # noqa: E402
 from dirt_tpu.utils.benchtime import device_time, device_time_stats  # noqa: E402
 import dirt_tpu  # noqa: E402
 
-# Wall-clock budget for the SECONDARY measurements (everything after the
-# tracked JSON line). The driver runs bench.py under a timeout; round 3's
-# official metric was lost to rc=124 because the JSON line printed last.
-# It now prints FIRST, and the extras stop starting new measurements once
-# this budget is spent.
-SECONDARY_BUDGET_S = 420.0
+# Wall-clock budget for the LOW-priority secondary measurements. The
+# driver runs bench.py under a timeout; round 3's official metric was
+# lost to rc=124 because the JSON line printed last (it now prints
+# FIRST), and round 4's secondaries were ALL lost because the budget
+# clock started before the tracked line's cold compiles (520 s of setup
+# ate the whole 420 s budget — VERDICT r4 weak #1). The clock now starts
+# AFTER the tracked line prints, the dense A/B and 256^2 lines are
+# UNGATED (they always run — cheap with the persistent compile cache +
+# configstore), and only the clip-path and 100k-tri lines check this
+# budget.
+SECONDARY_BUDGET_S = 600.0
 
 # Round-1 first *honest* measurement on one TPU v5e chip (Mpix/s fwd+bwd at
 # 1024^2, 10k-tri sphere), measured with utils/benchtime.device_time (the
@@ -107,7 +112,7 @@ def build(size):
     return clip, colors, jnp.asarray(faces), bg, weights, len(verts_obj)
 
 
-def honest_config(clip_verts, colors, faces, size, base=None):
+def honest_config(clip_verts, colors, faces, size, base=None, key=None):
     """Count-then-allocate caps that render the scene with NO truncation.
 
     The round-3 audit found the auto heuristics' expand cap silently (but
@@ -115,11 +120,34 @@ def honest_config(clip_verts, colors, faces, size, base=None):
     1024^2 — every number in this series is only meaningful if the render
     is complete, so the bench measures exact-cap configs and ASSERTS the
     overflow flag is clear.
+
+    With ``key`` given, the suggested config is persisted in
+    ``bench_cache/configs.json`` (utils/configstore) and later runs skip
+    the two counting programs: they load the caps and only run the cheap
+    jitted overflow CHECK, recomputing on a trip (stale entry). This is
+    what keeps the driver's bench run inside its timeout with a cold
+    process (VERDICT r4 weak #1).
     """
     import functools
 
     from dirt_tpu.ops.raster import suggest_config
     from dirt_tpu.ops.triangle_setup import screen_from_clip
+    from dirt_tpu.utils import configstore
+
+    def checked(config):
+        check = jax.jit(functools.partial(
+            dirt_tpu.rasterise_with_aux, config=config, clip=False
+        ))
+        _, _, _, overflow = check(
+            jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors,
+            faces,
+        )
+        return not bool(overflow)
+
+    if key is not None:
+        cached = configstore.load_config(key)
+        if cached is not None and checked(cached):
+            return cached
 
     # Everything device-side is jitted: eager dispatch pays a transport
     # round trip PER OP on the tunneled chip (an eager check render took
@@ -128,13 +156,9 @@ def honest_config(clip_verts, colors, faces, size, base=None):
         lambda cv, f: screen_from_clip(cv, size, size)[f]
     )(clip_verts, faces)
     config = suggest_config(fv, size, size, config=base)
-    check = jax.jit(functools.partial(
-        dirt_tpu.rasterise_with_aux, config=config, clip=False
-    ))
-    _, _, _, overflow = check(
-        jnp.zeros((size, size, 3), jnp.float32), clip_verts, colors, faces
-    )
-    assert not bool(overflow), "bench scene must render untruncated"
+    assert checked(config), "bench scene must render untruncated"
+    if key is not None:
+        configstore.save_config(key, config)
     return config
 
 
@@ -142,7 +166,10 @@ def bench_size(size, config=None, engine=None):
     clip, colors, faces, bg, weights, _ = build(size)
     if config is None:
         base = RasterConfig(engine=engine) if engine else None
-        config = honest_config(clip, colors, faces, size, base=base)
+        key = f"sphere72_{size}_{engine or 'auto'}"
+        config = honest_config(
+            clip, colors, faces, size, base=base, key=key
+        )
 
     # clip=False keeps the tracked series measurement-compatible with
     # rounds 0-1 (near-plane clipping landed in round 2 and doubles the
@@ -192,7 +219,9 @@ def bench_streaming_100k(size=1024):
     # NOTE: auto resolves this 100k-face scene to the PACKED engine (the
     # round-2 auto switch) — the "streaming/CSR" label is historical.
     # Honest caps, same as the tracked scenes.
-    config = honest_config(clip, colors, faces, size)
+    config = honest_config(
+        clip, colors, faces, size, key=f"sphere224_{size}_auto"
+    )
     t, t_med = device_time_stats(
         lambda c, co, b: dirt_tpu.rasterise(
             b, c, co, faces, config=config, clip=False
@@ -205,7 +234,9 @@ def bench_streaming_100k(size=1024):
 def bench_clip_path(size=1024):
     """GL-parity path (near-plane clipping on, the public default)."""
     clip, colors, faces, bg, weights, _ = build(size)
-    config = honest_config(clip, colors, faces, size)
+    config = honest_config(
+        clip, colors, faces, size, key=f"sphere72_{size}_auto"
+    )
 
     def loss(c, co, b, w):
         img = dirt_tpu.rasterise(b, c, co, faces, config=config)
@@ -236,7 +267,6 @@ def _size_line(r, nf_sphere, backend):
 
 def main():
     backend = jax.default_backend()
-    t_start = time.monotonic()
     nf_sphere = 10224
 
     # THE TRACKED MEASUREMENT, and nothing before it: the JSON line must
@@ -251,6 +281,10 @@ def main():
     }), flush=True)
     _size_line(r1024, nf_sphere, backend)
 
+    # The budget clock starts AFTER the tracked line: its cold compiles
+    # must never eat the secondaries' budget (VERDICT r4 weak #1).
+    t_start = time.monotonic()
+
     def budget_left(label):
         spent = time.monotonic() - t_start
         if spent < SECONDARY_BUDGET_S:
@@ -261,24 +295,24 @@ def main():
         )
         return False
 
-    # Secondary lines, cheapest-information-first, each budget-gated.
-    if budget_left("dense A/B"):
-        # Engine A/B at honest caps on the flagship scene: the packed
-        # engine is the auto default and must re-earn that spot against
-        # the v1 dense engine at every round (the round-2 packed "win"
-        # was measured on a truncated render).
-        r_dense = bench_size(1024, engine="dense")
-        print(
-            f"# 1024^2 dense-engine A/B: fwd {r_dense['fwd_ms']:.2f} ms "
-            f"(med {r_dense['fwd_med_ms']:.2f}), fwd+bwd "
-            f"{r_dense['fwdbwd_ms']:.2f} ms "
-            f"(med {r_dense['fwdbwd_med_ms']:.2f}) "
-            f"({r_dense['fwdbwd_mpix_s']:.1f} Mpix/s) vs packed "
-            f"{r1024['fwdbwd_ms']:.2f} ms",
-            file=sys.stderr,
-        )
-    if budget_left("256^2"):
-        _size_line(bench_size(256), nf_sphere, backend)
+    # Tier 1 — UNGATED secondaries (always measured, every round).
+    # Engine A/B at honest caps on the flagship scene: the packed
+    # engine is the auto default and must re-earn that spot against
+    # the v1 dense engine at every round (the round-2 packed "win"
+    # was measured on a truncated render).
+    r_dense = bench_size(1024, engine="dense")
+    print(
+        f"# 1024^2 dense-engine A/B: fwd {r_dense['fwd_ms']:.2f} ms "
+        f"(med {r_dense['fwd_med_ms']:.2f}), fwd+bwd "
+        f"{r_dense['fwdbwd_ms']:.2f} ms "
+        f"(med {r_dense['fwdbwd_med_ms']:.2f}) "
+        f"({r_dense['fwdbwd_mpix_s']:.1f} Mpix/s) vs packed "
+        f"{r1024['fwdbwd_ms']:.2f} ms",
+        file=sys.stderr,
+    )
+    _size_line(bench_size(256), nf_sphere, backend)
+
+    # Tier 2 — budget-gated extras.
     if budget_left("clip path"):
         t_clip, t_clip_med = bench_clip_path()
         print(
