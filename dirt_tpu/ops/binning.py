@@ -404,7 +404,8 @@ def auto_pool_cap(num_faces: int, expand_cap: int) -> int:
 def bin_faces_packed(
     bbox, height: int, width: int, tile_h: int, tile_w: int,
     budget_iters: int, expand_cap: int,
-    edges=None, pool_cap: int | None = None, _stage: int = 0,
+    edges=None, pool_cap: int | None = None,
+    work_cap: int | None = None, _stage: int = 0,
 ) -> PackedBins:
     """Lane-packed subtile binning (see :class:`PackedBins`).
 
@@ -433,6 +434,22 @@ def bin_faces_packed(
        defaults. The placement math is shared verbatim with the
        backward's pair_rows inverse (round 3's separate gather
        construction cost ~1.3 ms in-graph vs ~0.7 ms for the scatter).
+
+    ``work_cap`` (round 5): every stage AFTER the merged sort runs on the
+    first ``work_cap`` sorted elements only. Invalid candidates — empty
+    pool slots, edge-filtered bbox candidates, truncated jobs — carry the
+    sentinel sid ``nsid`` and sort to the END, so a cap of
+    (nsid + real_jobs * margin) covers all live content: the rank
+    cummaxes, the counts compaction sort, the placement math and the
+    entries scatter (0.76 ms of the 2.35 ms binning at 1024^2/10k faces,
+    measured r5) stop paying for the dead tail (~half the merged array
+    at honest caps, where the pool is sized for bbox candidates but
+    ~1/3 are edge-filtered). Headers always sort inside any prefix that
+    holds live pairs (a run's header precedes its pairs), so truncation
+    under an undersized cap is CLEAN — whole tail pairs drop, flagged
+    via ``overflow`` (the element at position ``work_cap`` is still
+    live). None = no slicing (exact); ``suggest_config`` measures the
+    exact requirement.
 
     ``_stage`` > 0 returns early with a checksum scalar after pipeline
     stage N (profiling hook for tools/prof_binning.py — cumulative stage
@@ -536,19 +553,21 @@ def bin_faces_packed(
         # acceptance only costs kernel time; the half-pixel slack makes
         # false rejection impossible under f32 rounding. Cuts the
         # silhouette-heavy tail of bbox jobs (~1/3 on the bench sphere).
+        # All three edges evaluate as ONE stacked [3, pool] chain: the
+        # per-edge loop was ~30 separate sub-MB XLA dispatches (~0.5 ms
+        # at pool ~100k, r5 profile) for ~30 us of SOL traffic.
         rx0 = gx.astype(jnp.float32) * SUB_W + 0.5 - frow_t[4]
         ry0 = gy.astype(jnp.float32) * SUB_H + 0.5 - frow_t[5]
-        keep = pair_ok
-        for k in range(3):
-            a = frow_t[6 + 2 * k]
-            b = frow_t[7 + 2 * k]
-            c = frow_t[12] if k == 0 else 0.0
-            emax = (a * rx0 + b * ry0 + c
-                    + jnp.maximum(a, 0.0) * (SUB_W - 1)
-                    + jnp.maximum(b, 0.0) * (SUB_H - 1))
-            slack = 0.5 * jnp.sqrt(a * a + b * b)
-            keep = keep & (emax >= -slack)
-        pair_ok = keep
+        a3 = frow_t[6:12:2]                                # [3, pool]
+        b3 = frow_t[7:12:2]
+        c3 = jnp.concatenate(
+            [frow_t[12:13], jnp.zeros((2, pool_cap), jnp.float32)]
+        )
+        emax = (a3 * rx0[None] + b3 * ry0[None] + c3
+                + jnp.maximum(a3, 0.0) * (SUB_W - 1)
+                + jnp.maximum(b3, 0.0) * (SUB_H - 1))
+        slack = 0.5 * jnp.sqrt(a3 * a3 + b3 * b3)
+        pair_ok = pair_ok & jnp.all(emax >= -slack, axis=0)
     if _stage == 13:
         return jnp.sum(gy) + jnp.sum(gx) + jnp.sum(pair_ok)
     t_id = (gy // strips) * tiles_x + gx // groups
@@ -576,7 +595,23 @@ def bin_faces_packed(
         )
     else:
         sid_s, face_s = jax.lax.sort((sid_all, face_all), num_keys=2)
-    n_merged = sid_s.shape[0]
+    n_sorted = sid_s.shape[0]
+
+    # Live-prefix slice (see docstring): every stage below runs on the
+    # first C sorted elements; sentinel-sid candidates sort to the end.
+    if work_cap is not None:
+        c_live = min(
+            max(-(-work_cap // 8) * 8, nsid + POOL_ALIGN), n_sorted
+        )
+    else:
+        c_live = n_sorted
+    if c_live < n_sorted:
+        work_overflow = sid_s[c_live] < nsid
+        sid_s = sid_s[:c_live]
+        face_s = face_s[:c_live]
+    else:
+        work_overflow = jnp.bool_(False)
+    n_merged = c_live
 
     iota = jnp.arange(n_merged, dtype=jnp.int32)
     is_start = jnp.concatenate(
@@ -654,9 +689,13 @@ def bin_faces_packed(
         (rowstart[:, :, 0] // GROUPS)[:, :, None],
         (total, strips, groups),
     ).reshape(-1)
+    # mode="drop": under work_cap overflow a late sid's header (and with
+    # it the run's every pair) can sit past the live prefix.
     neg_m = jnp.full((n_merged,), -1, jnp.int32)
-    x8_run = jax.lax.cummax(neg_m.at[a_start].set(x8_sid))
-    lim8_run = jax.lax.cummax(neg_m.at[a_start].set(limit8_sid))
+    x8_run = jax.lax.cummax(neg_m.at[a_start].set(x8_sid, mode="drop"))
+    lim8_run = jax.lax.cummax(
+        neg_m.at[a_start].set(limit8_sid, mode="drop")
+    )
     k_p = rank - 1
     j_p = x8_run + k_p
     sid_c = jnp.minimum(sid_s, nsid - 1)
@@ -706,7 +745,15 @@ def bin_faces_packed(
     # face-major [F, E] pool grid. Consumed only by ``packed_bwd``;
     # forward-only graphs DCE this block.
     if want_pair_rows:
-        _, row_sorted = jax.lax.sort((q_s, row_val), num_keys=1)
+        if c_live < n_sorted:
+            # Sliced-away candidates hold no budget row: sentinel.
+            row_full = jnp.concatenate([
+                row_val,
+                jnp.full((n_sorted - c_live,), budget_rows, jnp.int32),
+            ])
+        else:
+            row_full = row_val
+        _, row_sorted = jax.lax.sort((q_s, row_full), num_keys=1)
         pair_rows = row_sorted[:pool_cap]
         pool_offs = jnp.concatenate(
             [boff, jnp.sum(blocks, keepdims=True)]
@@ -735,6 +782,7 @@ def bin_faces_packed(
         jnp.any(face_overflow)
         | jnp.any(n_iters_eff < tile_iters)
         | pool_overflow
+        | work_overflow
     )
     return PackedBins(
         entries=entries,

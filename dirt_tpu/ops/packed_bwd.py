@@ -48,6 +48,7 @@ from dirt_tpu.ops.raster_bwd import (
     GEO_DEN,
     GEO_EDGE,
     assemble_face_gradients,
+    boundary_cases,
     neighbor_maps,
     pixel_cotangents_core,
 )
@@ -88,8 +89,8 @@ def _dot3_onehot(values, onehot_bf16, dims):
 
 
 def _bwd_packed_kernel(
-    meta_ref, rows_ref, fidflat_ref, fid_ref, zbuf_ref, pix_ref, grad_ref,
-    nfid_ref, nz_ref, sval_ref,
+    meta_ref, rows_ref, fidflat_ref, bits_ref, pix_ref, grad_ref,
+    sval_ref,
     out_ref,
     rows_scratch,
     *, channels: int, k_cols: int, col_one: int, tile_h: int,
@@ -161,7 +162,6 @@ def _bwd_packed_kernel(
                     ygf = (
                         ty * tile_h + s * SUB_H + pyi
                     ).astype(jnp.float32) + 0.5
-                    fid_s = fid_ref[rs, :]
                     # Pre-permuted [1, px] float fid row: an in-kernel
                     # [8,128]->[1,1024] reshape is a sublane->lane
                     # relayout repeated per (window, strip) pair.
@@ -182,13 +182,16 @@ def _bwd_packed_kernel(
                     g16 = [g3[k] for k in range(17)]
                     covered = g3[col_one] > 0.5            # [8, 128]
 
+                    # Boundary pair & front tests ride the swap as one
+                    # int32 bit plane (bit n = boundary_cases()[n]
+                    # active), replacing 8 nfid/nz planes + zbuf.
+                    bits_s = bits_ref[rs, :]
                     nbrs = [
-                        (nfid_ref[n, rs, :], nz_ref[n, rs, :],
-                         sval_ref[n, rs, :])
+                        (((bits_s >> n) & 1) > 0, sval_ref[n, rs, :])
                         for n in range(4)
                     ]
                     d_geo, d_att = pixel_cotangents_core(
-                        g16, covered, fid_s, zbuf_ref[rs, :],
+                        g16, covered, None, None,
                         pix_ref[:, rs, :], grad_ref[:, rs, :],
                         nbrs, xgf, ygf,
                     )
@@ -370,6 +373,18 @@ def prepare_backward_packed(
         nfid4, nz4, sval4 = nbrs
         nfid4 = jnp.asarray(nfid4, jnp.int32)
 
+    # Pre-combine the boundary pair & front tests into ONE int32 bit
+    # plane (bit n = boundary_cases()[n] active at this pixel): the
+    # kernel only ever consumes nfid/nz/zbuf through these boolean
+    # tests, so evaluating them here removes 9 of the 13 swapped planes
+    # (nfid4 + nz4 + zbuf = 36 MB of permute traffic at 1024^2) and
+    # their VMEM blocks from every kernel step.
+    bits = jnp.zeros(fid_p.shape, jnp.int32)
+    for n, (_, _, _, strict) in enumerate(boundary_cases()):
+        pair = (fid_p != nfid4[n]) & (nfid4[n] != -2)
+        front = (zbuf_p < nz4[n]) if strict else (zbuf_p <= nz4[n])
+        bits = bits | ((pair & front).astype(jnp.int32) << n)
+
     # Flat-subtile layout (matches the forward's bins). All float fields
     # ride ONE stacked permute and all int fields another — the 6D
     # swapaxes lowers at ~60 GB/s, so per-array invocations dominate the
@@ -377,10 +392,8 @@ def prepare_backward_packed(
     strips_n = tile_h // SUB_H
     px_n = SUB_H * tile_w
 
-    fid_f, zbuf_f, pix_f, grad_f, nfid_f, nz_f, sval_f = (
-        flat_subtile_swap_pallas(
-            [fid_p, zbuf_p, pix_cf, grad_cf, nfid4, nz4, sval4]
-        )
+    fid_f, bits_f, pix_f, grad_f, sval_f = flat_subtile_swap_pallas(
+        [fid_p, bits, pix_cf, grad_cf, sval4]
     )
     fid_flat = (
         fid_f.astype(jnp.float32)
@@ -390,8 +403,7 @@ def prepare_backward_packed(
     )
 
     return _PackedBwdPrep(
-        kernel_args=(fid_flat, fid_f, zbuf_f, pix_f, grad_f, nfid_f,
-                     nz_f, sval_f),
+        kernel_args=(fid_flat, bits_f, pix_f, grad_f, sval_f),
         bins=bins, geo=geo, att=att, channels=channels, k_cols=k_cols,
         tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, total=total,
         strips_n=strips_n, px_n=px_n, interpret=interpret,
@@ -453,14 +465,9 @@ def packed_entry_rows(prep: _PackedBwdPrep, c_lo: int = 0,
                          lambda c, m: (m[c + c_lo], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, tile_w), img, memory_space=pltpu.VMEM),
             pl.BlockSpec((channels, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((channels, tile_h, tile_w), imgc,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_h, tile_w), imgc,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, tile_h, tile_w), imgc,
                          memory_space=pltpu.VMEM),

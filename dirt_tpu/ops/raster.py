@@ -85,6 +85,12 @@ class RasterConfig(NamedTuple):
     # (binning.auto_pool_cap); overflow-flagged, measured exactly by
     # ``suggest_config``.
     pool_cap: int | None = None
+    # Packed binning live-prefix cap: all post-sort binning stages run on
+    # the first ``work_cap`` sorted candidates (dead/filtered candidates
+    # sort last — see binning.bin_faces_packed). None = no slicing
+    # (exact); ``suggest_config`` measures nsid + filtered jobs exactly.
+    # Undersized caps truncate cleanly and raise the overflow flag.
+    work_cap: int | None = None
 
     def concrete(self, height: int) -> "RasterConfig":
         """Resolve auto fields for a given image height.
@@ -210,6 +216,7 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
             bins = binning.bin_faces_packed(
                 bbox, hp, wp, tile_h, tile_w, budget, expand,
                 edges=edges, pool_cap=config.pool_cap,
+                work_cap=config.work_cap,
             )
         with jax.named_scope("dirt_raster_fwd_packed"):
             table2 = pack_face_table_v2(geo, att)
@@ -519,7 +526,7 @@ def suggest_config(
         # one count-then-allocate call. The round-3 audit found the auto
         # expand cap (8) silently-flagged on the flagship 10k-face
         # 1024^2 scene (true max span 24).
-        exp, bud, pool = count_packed_exact(
+        exp, bud, pool, work = count_packed_exact(
             None, height, width, config.tile_h, config.tile_w, margin,
             face_verts_screen=face_verts_screen,
             max_subspan=int(max_sub),
@@ -527,6 +534,7 @@ def suggest_config(
         kwargs["expand_cap"] = exp
         kwargs["budget"] = bud
         kwargs["pool_cap"] = pool
+        kwargs["work_cap"] = work
     return config._replace(**kwargs)
 
 
@@ -598,13 +606,16 @@ def _count_packed_device(
     ti_m = (tile_iters.astype(jnp.float32) * margin).astype(jnp.int32)
     chunks = jnp.maximum(-(-ti_m // binning.PACK_ITERS), 1)
     budget = jnp.sum(chunks) * binning.PACK_ITERS
-    return budget, blocks_sum
+    # Surviving (post-filter) jobs: the binning's live-prefix work_cap is
+    # nsid headers + this many real pairs (see bin_faces_packed).
+    jobs_sum = jnp.sum(counts)
+    return budget, blocks_sum, jobs_sum
 
 
 def count_packed_exact(bbox, height: int, width: int, tile_h: int,
                        tile_w: int, margin: float = 1.25,
                        face_verts_screen=None, max_subspan: int | None = None):
-    """Exact (expand_cap, budget, pool_cap) for the packed engine.
+    """Exact (expand_cap, budget, pool_cap, work_cap) for the packed engine.
 
     Counting half of count-then-allocate at subtile granularity.
     Without geometry, per-subtile face counts come from the bbox ranges
@@ -641,10 +652,17 @@ def count_packed_exact(bbox, height: int, width: int, tile_h: int,
         )
     e_max = max(int(max_subspan), 1)
     expand = max(int(max_subspan * margin), 1)
-    budget, blocks_sum = jax.device_get(_count_packed_device(
+    budget, blocks_sum, jobs_sum = jax.device_get(_count_packed_device(
         bbox, face_verts_screen, height, width, tile_h, tile_w,
         e_max, expand, float(margin),
     ))
     al = binning.POOL_ALIGN
     pool = int(int(blocks_sum) * margin + 1) * al
-    return expand, int(budget), pool
+    hp = _pad_to(height, tile_h)
+    wp = _pad_to(width, tile_w)
+    tiles_y, tiles_x, strips, groups = binning.packed_grid(
+        hp, wp, tile_h, tile_w
+    )
+    nsid = tiles_y * tiles_x * strips * groups
+    work = nsid + int(int(jobs_sum) * margin) + 8
+    return expand, int(budget), pool, work

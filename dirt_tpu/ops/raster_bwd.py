@@ -131,13 +131,18 @@ def pixel_cotangents_core(g16cf, covered, fid_pair, zbuf, pixels_cf,
     Args:
         g16cf: indexable per-plane maps (``g16cf[k]`` -> [H, W]); columns
             follow the geo layout of ``triangle_setup``.
-        fid_pair: [H, W] int32 face ids, used for the fid != nfid pair test.
-        nbrs: list over :func:`boundary_cases` of (nfid, nz, sval) from
-            :func:`neighbor_maps` (computed OUTSIDE the kernel so tile
-            kernels see cross-tile neighbors).
+        fid_pair: [H, W] int32 face ids, used for the fid != nfid pair test
+            (may be None when every nbrs entry is pre-combined).
+        nbrs: list over :func:`boundary_cases` of either (nfid, nz, sval)
+            from :func:`neighbor_maps`, or a PRE-COMBINED 2-tuple
+            (active, sval) where ``active`` is the bool pair & front test
+            already evaluated (packed path: the tests run once at XLA
+            level and ride the layout swap as one int32 bit plane instead
+            of 8 full nfid/nz planes). Both are computed OUTSIDE the
+            kernel so tile kernels see cross-tile neighbors.
         xg, yg: [H, W] global pixel-center coordinates.
     """
-    height, width = zbuf.shape
+    height, width = xg.shape
     channels = pixels_cf.shape[0]
 
     dxg = xg - g16cf[GEO_AX]
@@ -181,10 +186,14 @@ def pixel_cotangents_core(g16cf, covered, fid_pair, zbuf, pixels_cf,
     for case, (axis, offset, horizontal, strict) in enumerate(
         boundary_cases()
     ):
-        nfid, nz, s_val = nbrs[case]
-        pair = (fid_pair != nfid) & (nfid != -2) & covered
-        front = (zbuf < nz) if strict else (zbuf <= nz)
-        active = pair & front
+        if len(nbrs[case]) == 2:
+            abit, s_val = nbrs[case]
+            active = abit & covered
+        else:
+            nfid, nz, s_val = nbrs[case]
+            pair = (fid_pair != nfid) & (nfid != -2) & covered
+            front = (zbuf < nz) if strict else (zbuf <= nz)
+            active = pair & front
 
         # Crossing-edge selection on the own (front) face's edges.
         chosen = jnp.zeros((height, width), jnp.bool_)

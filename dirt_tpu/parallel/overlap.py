@@ -296,6 +296,7 @@ def rasterise_overlapped(
         return binning.bin_faces_packed(
             bbox, hp, wp, tile_h, tile_w, budget, expand,
             edges=edges, pool_cap=config.pool_cap,
+            work_cap=config.work_cap,
         )
 
     @jax.custom_vjp

@@ -30,7 +30,7 @@ DEFAULT_PATH = os.path.join(
 
 # Bump when RasterConfig fields or suggest_config semantics change in a
 # way that invalidates stored caps wholesale.
-FORMAT = 3
+FORMAT = 4  # 4: work_cap field (r5 live-prefix binning slice)
 
 
 def _load_all(path: str) -> dict:

@@ -127,6 +127,97 @@ def test_packed_budget_overflow_flagged():
     assert np.asarray(pb.n_iters)[0] <= 2 * PACK_ITERS
 
 
+def test_work_cap_exact_when_sized_to_live_content():
+    """A work_cap covering headers + real jobs reproduces the unsliced
+    binning bit-for-bit (incl. pair_rows), and an undersized cap flags."""
+    rng = np.random.RandomState(11)
+    height, width = 64, 256
+    boxes = []
+    for _ in range(120):
+        x0 = rng.randint(0, width)
+        y0 = rng.randint(0, height)
+        boxes.append([x0, min(x0 + rng.randint(0, 40), width - 1),
+                      y0, min(y0 + rng.randint(0, 30), height - 1)])
+    boxes.append([0, -1, 0, -1])
+    bbox = np.asarray(boxes, np.int32)
+    tile_h, tile_w = 32, 128
+    tiles_y, tiles_x, strips, groups = packed_grid(
+        height, width, tile_h, tile_w
+    )
+    nsid = tiles_y * tiles_x * strips * groups
+    budget, expand = 2048, 64
+
+    ref = bin_faces_packed(
+        jnp.asarray(bbox), height, width, tile_h, tile_w, budget, expand
+    )
+    assert not bool(ref.overflow)
+    n_jobs = sum(
+        len(v) for v in _brute_jobs(bbox, height, width, tile_h, tile_w)
+        .values()
+    )
+
+    capped = bin_faces_packed(
+        jnp.asarray(bbox), height, width, tile_h, tile_w, budget, expand,
+        work_cap=nsid + n_jobs,
+    )
+    assert not bool(capped.overflow)
+    np.testing.assert_array_equal(
+        np.asarray(capped.entries), np.asarray(ref.entries))
+    np.testing.assert_array_equal(
+        np.asarray(capped.n_iters), np.asarray(ref.n_iters))
+    if ref.pair_rows is not None:
+        np.testing.assert_array_equal(
+            np.asarray(capped.pair_rows), np.asarray(ref.pair_rows))
+
+    # Undersized: jobs were cut -> flagged, and the cut is CLEAN (every
+    # placed entry is a real (face, strip) job of the full run).
+    small = bin_faces_packed(
+        jnp.asarray(bbox), height, width, tile_h, tile_w, budget, expand,
+        work_cap=nsid + n_jobs // 2,
+    )
+    assert bool(small.overflow)
+    got = _decode(small, len(boxes), tiles_y * tiles_x, strips)
+    want = _brute_jobs(bbox, height, width, tile_h, tile_w)
+    for key, faces_list in got.items():
+        assert set(faces_list) <= set(want.get(key, [])), key
+
+
+def test_suggest_work_cap_silences_and_matches():
+    """suggest_config's work_cap must not flag, and the work-capped
+    binning must equal the uncapped one on the same filtered scene."""
+    from dirt_tpu.ops.raster import count_packed_exact
+    from dirt_tpu.ops.triangle_setup import (
+        edge_filter_cols, face_bbox_cols, setup_planes,
+    )
+
+    rng = np.random.RandomState(13)
+    height, width = 64, 256
+    nf = 50
+    fv = np.zeros((nf, 3, 4), np.float32)
+    fv[..., 0] = rng.uniform(-20, width + 20, (nf, 3))
+    fv[..., 1] = rng.uniform(-20, height + 20, (nf, 3))
+    fv[..., 3] = 1.0
+    fv = jnp.asarray(fv)
+    _, _, valid = setup_planes(fv, jnp.zeros((nf, 3, 1), jnp.float32))
+    bbox = face_bbox_cols(fv, valid, height, width)
+    edges = edge_filter_cols(fv)
+    tile_h, tile_w = 32, 128
+    exp, bud, pool, work = count_packed_exact(
+        jnp.stack(bbox, axis=1), height, width, tile_h, tile_w,
+        margin=1.0, face_verts_screen=fv)
+    ref = bin_faces_packed(bbox, height, width, tile_h, tile_w, bud, exp,
+                           edges=edges, pool_cap=pool)
+    capped = bin_faces_packed(bbox, height, width, tile_h, tile_w, bud,
+                              exp, edges=edges, pool_cap=pool,
+                              work_cap=work)
+    assert not bool(capped.overflow)
+    np.testing.assert_array_equal(
+        np.asarray(capped.entries), np.asarray(ref.entries))
+    if ref.pair_rows is not None:
+        np.testing.assert_array_equal(
+            np.asarray(capped.pair_rows), np.asarray(ref.pair_rows))
+
+
 def test_packed_expand_cap_overflow_flagged():
     # One face spanning more subtiles than expand_cap.
     boxes = [[0, 127, 0, 31]]
@@ -228,12 +319,12 @@ def test_count_packed_exact_silences_overflow():
 
     # Auto caps flag on this scene (that's the scenario under test).
     auto_expand = binning.auto_packed_expand(len(boxes), 1)
-    exp, bud, pool = count_packed_exact(
+    exp, bud, pool, work = count_packed_exact(
         jnp.asarray(bbox), height, width, tile_h, tile_w)
     assert exp > auto_expand
     cols = tuple(jnp.asarray(bbox[:, k]) for k in range(4))
     pb = bin_faces_packed(cols, height, width, tile_h, tile_w, bud, exp,
-                          pool_cap=pool)
+                          pool_cap=pool, work_cap=work)
     assert not bool(pb.overflow)
 
     # And the binning is complete: every brute-force job is present.
@@ -327,10 +418,10 @@ def test_filtered_count_matches_filtered_binning():
     bbox = face_bbox_cols(fv, valid, height, width)
     bbox4 = jnp.stack(bbox, axis=1)
     tile_h, tile_w = 32, 128
-    exp, bud, pool = count_packed_exact(
+    exp, bud, pool, work = count_packed_exact(
         bbox4, height, width, tile_h, tile_w, margin=1.0,
         face_verts_screen=fv)
     edges = edge_filter_cols(fv)
     pb = bin_faces_packed(bbox, height, width, tile_h, tile_w, bud, exp,
-                          edges=edges, pool_cap=pool)
+                          edges=edges, pool_cap=pool, work_cap=work)
     assert not bool(pb.overflow)

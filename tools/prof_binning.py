@@ -58,7 +58,7 @@ def main():
             return binning.bin_faces_packed(
                 bbox, hp, wp, tile_h, tile_w, config.budget,
                 config.expand_cap, edges=edges, pool_cap=config.pool_cap,
-                _stage=stage,
+                work_cap=config.work_cap, _stage=stage,
             )
         return fn
 

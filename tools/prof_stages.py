@@ -71,6 +71,7 @@ def main():
         bins = binning.bin_faces_packed(
             bbox, hp, wp, tile_h, tile_w, config.budget,
             config.expand_cap, edges=edges, pool_cap=config.pool_cap,
+            work_cap=config.work_cap,
         )
         return bins
 
@@ -141,8 +142,9 @@ def main():
     )
     print(f"bwd core (backward_packed) {t_bwdcore*1e3:7.3f} ms")
 
-    # neighbor prologue alone
-    from dirt_tpu.ops.raster_bwd import neighbor_maps
+    # neighbor prologue alone (mirror of prepare_backward_packed's
+    # XLA-level work: shifts + pair/front bit plane + layout swap)
+    from dirt_tpu.ops.raster_bwd import boundary_cases, neighbor_maps
 
     def prologue(fid, zbuf, pixels, grad_pixels):
         from dirt_tpu.ops.raster_fwd import BIG_Z
@@ -157,8 +159,13 @@ def main():
         nfid4 = jnp.stack([n[0] for n in nbr])
         nz4 = jnp.stack([n[1] for n in nbr])
         sval4 = jnp.stack([n[2] for n in nbr])
+        bits = jnp.zeros(fid_p.shape, jnp.int32)
+        for n, (_, _, _, strict) in enumerate(boundary_cases()):
+            pair = (fid_p != nfid4[n]) & (nfid4[n] != -2)
+            front = (zbuf_p < nz4[n]) if strict else (zbuf_p <= nz4[n])
+            bits = bits | ((pair & front).astype(jnp.int32) << n)
         out = flat_subtile_swap_pallas(
-            [fid_p, zbuf_p, pix_cf, grad_cf, nfid4, nz4, sval4]
+            [fid_p, bits, pix_cf, grad_cf, sval4]
         )
         return out
 
