@@ -43,13 +43,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dirt_tpu import config as cfg
-from dirt_tpu.ops.binning import GROUPS, PACK_CHUNK, PACK_ITERS, SUB_H
+from dirt_tpu.ops.binning import (
+    GROUPS,
+    PACK_CHUNK,
+    PACK_ITERS,
+    SUB_H,
+    SUB_W,
+)
 from dirt_tpu.ops.raster_bwd import (
     GEO_DEN,
     GEO_EDGE,
     assemble_face_gradients,
     boundary_cases,
-    neighbor_maps,
     pixel_cotangents_core,
 )
 from dirt_tpu.ops.raster_fwd import (
@@ -225,6 +230,212 @@ def _bwd_packed_kernel(
             out_ref[w * WINDOW:(w + 1) * WINDOW, :] = rows_scratch[:]
 
 
+def _roll_rows_m1(v, v_next, rows_ax=0):
+    """rows shifted by -1 (row r <- row r+1; last row from ``v_next[0]``)."""
+    n = v.shape[rows_ax]
+    rolled = pltpu.roll(v, n - 1, rows_ax)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, rows_ax)
+    nxt = pltpu.roll(v_next, n - 1, rows_ax)   # row n-1 holds v_next[0]
+    return jnp.where(row == n - 1, nxt, rolled)
+
+
+def _roll_rows_p1(v, v_prev, rows_ax=0):
+    """rows shifted by +1 (row r <- row r-1; first row from ``v_prev[-1]``)."""
+    n = v.shape[rows_ax]
+    rolled = pltpu.roll(v, 1, rows_ax)
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, rows_ax)
+    prv = pltpu.roll(v_prev, 1, rows_ax)       # row 0 holds v_prev[n-1]
+    return jnp.where(row == 0, prv, rolled)
+
+
+def _roll_lanes(v, offset, fill, lane_ax=1):
+    """lanes shifted by ``offset`` (lane l <- l + offset), edge-filled."""
+    wp = v.shape[lane_ax]
+    rolled = pltpu.roll(v, (-offset) % wp, lane_ax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, lane_ax)
+    if offset > 0:
+        bad = lane >= wp - offset
+    else:
+        bad = lane < -offset
+    return jnp.where(bad, jnp.full_like(v, fill), rolled)
+
+
+def _butterfly8(v):
+    """Flat-subtile swap of ONE 8-row strip block [8, wp] (wp % 128 == 0).
+
+    Same three-stage butterfly as ``raster_fwd._butterfly_swap_block`` but
+    with the lane group taken modulo each 128-lane tile, so one full-width
+    strip row swaps all its tiles at once. Selected exchanges never cross
+    a 128-lane tile (k, r < 8 => lane offset 16*bit stays inside).
+    """
+    rows_ax, lane_ax = 0, 1
+    row = jax.lax.broadcasted_iota(jnp.int32, v.shape, rows_ax)
+    grp = (
+        jax.lax.broadcasted_iota(jnp.int32, v.shape, lane_ax) % 128
+    ) // SUB_W
+    n_rows = v.shape[rows_ax]
+    wp = v.shape[lane_ax]
+    for i in range(3):
+        bit = 1 << i
+        rb = (row // bit) % 2
+        kb = (grp // bit) % 2
+        need = rb != kb
+        down = pltpu.roll(
+            pltpu.roll(v, n_rows - bit, rows_ax), SUB_W * bit, lane_ax
+        )
+        up = pltpu.roll(
+            pltpu.roll(v, bit, rows_ax), wp - SUB_W * bit, lane_ax
+        )
+        v = jnp.where(need & (rb == 1), up, jnp.where(need, down, v))
+    return v
+
+
+def _prologue_kernel(
+    fid_pv, fid_cu, fid_nx, z_pv, z_cu, z_nx,
+    pix_pv, pix_cu, pix_nx, grad_pv, grad_cu, grad_nx,
+    fid_o, bits_o, pix_o, grad_o, sval_o,
+    *, channels: int, n_strips: int,
+):
+    from dirt_tpu.ops.raster_bwd import boundary_cases
+
+    i = pl.program_id(0)
+    fid = fid_cu[:]
+    z = z_cu[:]
+    at_top = i == 0
+    at_bot = i == n_strips - 1
+
+    bits = jnp.zeros(fid.shape, jnp.int32)
+    for n, (axis, offset, horizontal, strict) in enumerate(
+        boundary_cases()
+    ):
+        if horizontal:
+            nfid = _roll_lanes(fid, offset, -2)
+            nz = _roll_lanes(z, offset, BIG_Z)
+            npx = [
+                _roll_lanes(pix_cu[c], offset, 0.0) for c in range(channels)
+            ]
+            ngr = [
+                _roll_lanes(grad_cu[c], offset, 0.0)
+                for c in range(channels)
+            ]
+        elif offset > 0:   # below
+            nfid = _roll_rows_m1(fid, fid_nx[:])
+            nz = _roll_rows_m1(z, z_nx[:])
+            npx = [
+                _roll_rows_m1(pix_cu[c], pix_nx[c]) for c in range(channels)
+            ]
+            ngr = [
+                _roll_rows_m1(grad_cu[c], grad_nx[c])
+                for c in range(channels)
+            ]
+            row = jax.lax.broadcasted_iota(jnp.int32, fid.shape, 0)
+            edge = at_bot & (row == SUB_H - 1)
+            nfid = jnp.where(edge, -2, nfid)
+            nz = jnp.where(edge, BIG_Z, nz)
+            npx = [jnp.where(edge, 0.0, p) for p in npx]
+            ngr = [jnp.where(edge, 0.0, g) for g in ngr]
+        else:              # above
+            nfid = _roll_rows_p1(fid, fid_pv[:])
+            nz = _roll_rows_p1(z, z_pv[:])
+            npx = [
+                _roll_rows_p1(pix_cu[c], pix_pv[c]) for c in range(channels)
+            ]
+            ngr = [
+                _roll_rows_p1(grad_cu[c], grad_pv[c])
+                for c in range(channels)
+            ]
+            row = jax.lax.broadcasted_iota(jnp.int32, fid.shape, 0)
+            edge = at_top & (row == 0)
+            nfid = jnp.where(edge, -2, nfid)
+            nz = jnp.where(edge, BIG_Z, nz)
+            npx = [jnp.where(edge, 0.0, p) for p in npx]
+            ngr = [jnp.where(edge, 0.0, g) for g in ngr]
+
+        pair = (fid != nfid) & (nfid != -2)
+        front = (z < nz) if strict else (z <= nz)
+        bits = bits | ((pair & front).astype(jnp.int32) << n)
+        sval = jnp.zeros(fid.shape, jnp.float32)
+        for c in range(channels):
+            sval = sval + (grad_cu[c] + ngr[c]) * (pix_cu[c] - npx[c])
+        sval_o[n] = _butterfly8(0.5 * sval)
+
+    fid_o[:] = _butterfly8(fid)
+    bits_o[:] = _butterfly8(bits)
+    for c in range(channels):
+        pix_o[c] = _butterfly8(pix_cu[c])
+        grad_o[c] = _butterfly8(grad_cu[c])
+
+
+def fused_neighbor_prologue(fid_p, zbuf_p, pix_cf, grad_cf,
+                            interpret: bool | None = None):
+    """One Pallas pass: neighbor shifts -> (pair & front) bit plane +
+    per-direction sval + flat-subtile layout swap.
+
+    Replaces the XLA-level ``neighbor_maps`` + bit combine +
+    ``flat_subtile_swap_pallas`` chain of the single-device packed
+    backward prologue (0.65 ms at 1024^2, r5 profile): the grid walks
+    8-row strips with clamped prev/next strip views for the vertical
+    halos (horizontal neighbors are lane rolls inside the full-width
+    strip), so every field is read ~3x and written once instead of the
+    shift chain's materialized intermediates. Outputs equal the
+    reference construction exactly (integer tests; sval same op order).
+
+    Args:
+        fid_p: [hp, wp] int32 (padding rows/cols = -2).
+        zbuf_p: [hp, wp] f32 (padding = BIG_Z).
+        pix_cf, grad_cf: [C, hp, wp] f32 (padding = 0).
+    Returns:
+        (fid_f, bits_f, pix_f, grad_f, sval_f) — flat-subtile layout.
+    """
+    if interpret is None:
+        interpret = cfg.use_interpret()
+    hp, wp = fid_p.shape
+    channels = pix_cf.shape[0]
+    n_strips = hp // SUB_H
+
+    cur = lambda i: (i, 0)
+    prev = lambda i: (jnp.maximum(i - 1, 0), 0)
+    nxt = lambda i: (jnp.minimum(i + 1, n_strips - 1), 0)
+    cur3 = lambda i: (0, i, 0)
+    prev3 = lambda i: (0, jnp.maximum(i - 1, 0), 0)
+    nxt3 = lambda i: (0, jnp.minimum(i + 1, n_strips - 1), 0)
+
+    def spec2(m):
+        return pl.BlockSpec((SUB_H, wp), m, memory_space=pltpu.VMEM)
+
+    def spec3(lead, m):
+        return pl.BlockSpec((lead, SUB_H, wp), m, memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _prologue_kernel, channels=channels, n_strips=n_strips,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        in_specs=[
+            spec2(prev), spec2(cur), spec2(nxt),
+            spec2(prev), spec2(cur), spec2(nxt),
+            spec3(channels, prev3), spec3(channels, cur3),
+            spec3(channels, nxt3),
+            spec3(channels, prev3), spec3(channels, cur3),
+            spec3(channels, nxt3),
+        ],
+        out_specs=(
+            spec2(cur), spec2(cur), spec3(channels, cur3),
+            spec3(channels, cur3), spec3(4, lambda i: (0, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((channels, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((channels, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(fid_p, fid_p, fid_p, zbuf_p, zbuf_p, zbuf_p,
+      pix_cf, pix_cf, pix_cf, grad_cf, grad_cf, grad_cf)
+
+
 def pool_reduce_rows(entry_rows, pair_rows, pool_offs, num_faces: int,
                      bmax: int, row_base: int = 0):
     """Reduce per-entry cotangent rows to faces via the pool backpointers.
@@ -364,37 +575,35 @@ def prepare_backward_packed(
     grad_cf = jnp.pad(
         jnp.transpose(grad_pixels, (2, 0, 1)), ((0, 0),) + pad2
     )
-    if nbrs is None:
-        nbr_list = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
-        nfid4 = jnp.stack([n[0] for n in nbr_list])
-        nz4 = jnp.stack([n[1] for n in nbr_list])
-        sval4 = jnp.stack([n[2] for n in nbr_list])
-    else:
-        nfid4, nz4, sval4 = nbrs
-        nfid4 = jnp.asarray(nfid4, jnp.int32)
-
-    # Pre-combine the boundary pair & front tests into ONE int32 bit
-    # plane (bit n = boundary_cases()[n] active at this pixel): the
-    # kernel only ever consumes nfid/nz/zbuf through these boolean
-    # tests, so evaluating them here removes 9 of the 13 swapped planes
-    # (nfid4 + nz4 + zbuf = 36 MB of permute traffic at 1024^2) and
-    # their VMEM blocks from every kernel step.
-    bits = jnp.zeros(fid_p.shape, jnp.int32)
-    for n, (_, _, _, strict) in enumerate(boundary_cases()):
-        pair = (fid_p != nfid4[n]) & (nfid4[n] != -2)
-        front = (zbuf_p < nz4[n]) if strict else (zbuf_p <= nz4[n])
-        bits = bits | ((pair & front).astype(jnp.int32) << n)
-
-    # Flat-subtile layout (matches the forward's bins). All float fields
-    # ride ONE stacked permute and all int fields another — the 6D
-    # swapaxes lowers at ~60 GB/s, so per-array invocations dominate the
-    # backward's XLA glue if not batched.
     strips_n = tile_h // SUB_H
     px_n = SUB_H * tile_w
 
-    fid_f, bits_f, pix_f, grad_f, sval_f = flat_subtile_swap_pallas(
-        [fid_p, bits, pix_cf, grad_cf, sval4]
-    )
+    # The boundary pair & front tests pre-combine into ONE int32 bit
+    # plane (bit n = boundary_cases()[n] active at this pixel): the
+    # kernel only ever consumes nfid/nz/zbuf through these boolean
+    # tests, so evaluating them early removes 9 of the 13 swapped planes
+    # (nfid4 + nz4 + zbuf = 36 MB of permute traffic at 1024^2) and
+    # their VMEM blocks from every kernel step.
+    if nbrs is None:
+        # Single-device path: shifts + bits + sval + layout swap fuse
+        # into one strip-halo Pallas pass (fused_neighbor_prologue).
+        fid_f, bits_f, pix_f, grad_f, sval_f = fused_neighbor_prologue(
+            fid_p, zbuf_p, pix_cf, grad_cf, interpret=interpret,
+        )
+    else:
+        # Halo path (sharded slabs): neighbor stacks arrive precomputed
+        # with mesh-neighbor rows spliced in; combine to bits here and
+        # swap the five planes.
+        nfid4, nz4, sval4 = nbrs
+        nfid4 = jnp.asarray(nfid4, jnp.int32)
+        bits = jnp.zeros(fid_p.shape, jnp.int32)
+        for n, (_, _, _, strict) in enumerate(boundary_cases()):
+            pair = (fid_p != nfid4[n]) & (nfid4[n] != -2)
+            front = (zbuf_p < nz4[n]) if strict else (zbuf_p <= nz4[n])
+            bits = bits | ((pair & front).astype(jnp.int32) << n)
+        fid_f, bits_f, pix_f, grad_f, sval_f = flat_subtile_swap_pallas(
+            [fid_p, bits, pix_cf, grad_cf, sval4]
+        )
     fid_flat = (
         fid_f.astype(jnp.float32)
         .reshape(hp // tile_h, strips_n, SUB_H, tiles_x, tile_w)

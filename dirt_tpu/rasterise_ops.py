@@ -14,6 +14,8 @@ and ``shard_map``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +45,60 @@ def _auto_clip_cap(num_faces: int) -> int:
     return min(max(num_faces // 32, 64), num_faces)
 
 
+def _face_incidence(faces_np, num_verts: int):
+    """[V, max_deg] flat corner indices (f * 3 + k) per vertex, padded
+    with the sentinel F * 3 (a zero row in the padded cotangent table).
+
+    Built on the host from CONCRETE faces: the autodiff transpose of the
+    per-face vertex gather ``verts[faces]`` is an XLA scatter-add
+    (~6.6 ns/update — ~0.4 ms/step for a 10k-face mesh's verts + colors
+    at any resolution); with the incidence table it becomes a row gather
+    + small sum (~4x cheaper). Traced faces fall back to plain gather.
+    """
+    import numpy as np
+
+    flat = faces_np.reshape(-1)
+    order = np.argsort(flat, kind="stable")
+    sorted_v = flat[order]
+    counts = np.bincount(sorted_v, minlength=num_verts)
+    max_deg = int(counts.max()) if counts.size else 1
+    inc = np.full((num_verts, max_deg), faces_np.size, np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(flat.size) - starts[sorted_v]
+    inc[sorted_v, rank] = order
+    return jnp.asarray(inc)
+
+
+@jax.custom_vjp
+def _gather_by_faces(vals, faces, inc):
+    """``vals[faces]`` whose vjp reduces via the incidence table.
+
+    ``faces``/``inc`` are int arrays (zero cotangent); they ride as
+    ordinary primal args so this works under jit (a closure over traced
+    values would leak tracers into the backward trace).
+    """
+    return vals[faces]
+
+
+def _gather_fwd(vals, faces, inc):
+    return vals[faces], inc
+
+
+def _gather_bwd(inc, ct):
+    k = ct.shape[-1]
+    flat = jnp.concatenate(
+        [ct.reshape(-1, k), jnp.zeros((1, k), ct.dtype)]
+    )
+    rows = flat[inc.reshape(-1)]
+    return (
+        rows.reshape(inc.shape[0], inc.shape[1], k).sum(axis=1),
+        None, None,
+    )
+
+
+_gather_by_faces.defvjp(_gather_fwd, _gather_bwd)
+
+
 def _resolve_shape(background, height, width, channels):
     if background is not None:
         h, w, c = background.shape[-3], background.shape[-2], background.shape[-1]
@@ -55,7 +111,7 @@ def _resolve_shape(background, height, width, channels):
 
 
 def _clip_space_faces(vertices, vertex_colors, faces, height, width,
-                      config, clip):
+                      config, clip, inc=None):
     """Gather per-face data and (optionally) near-plane clip it.
 
     Clipping produces [2F] sub-triangles (``ops/clipping.py``) which are
@@ -70,9 +126,13 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
     ``clip=False``), ``clip_overflow`` flags dropped secondaries.
     """
     num_faces = faces.shape[0]
+    if inc is not None:
+        gather = lambda v: _gather_by_faces(v, faces, inc)
+    else:
+        gather = lambda v: v[faces]
     if clip:
-        fv_clip = vertices[faces]                     # [F, 3, 4]
-        fa = vertex_colors[faces]                     # [F, 3, C]
+        fv_clip = gather(vertices)                    # [F, 3, 4]
+        fa = gather(vertex_colors)                    # [F, 3, C]
         cap = config.clip_cap
         if cap is None:
             cap = _auto_clip_cap(num_faces)
@@ -88,9 +148,44 @@ def _clip_space_faces(vertices, vertex_colors, faces, height, width,
     verts_screen = screen_from_clip(vertices, height, width)
     orig_id = jnp.arange(num_faces, dtype=jnp.int32)
     return (
-        verts_screen[faces], vertex_colors[faces], config, orig_id,
+        gather(verts_screen), gather(vertex_colors), config, orig_id,
         jnp.asarray(False),
     )
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _rasterise_core(background, vertices, vertex_colors, faces, h, w,
+                    config, clip, inc=None):
+    """Jitted device-side body shared by the public wrappers.
+
+    The wrappers jit internally so EAGER callers (the reference's usage
+    style — no surrounding ``tf.function``/``jit``) pay one cached
+    whole-graph compile per (shapes, config) instead of an XLA dispatch
+    + micro-compile per op: one eager binning call alone costs 12+ s
+    op-by-op on CPU, and each eager op pays a transport round trip on
+    tunneled TPU backends. Under an outer ``jit`` the inner one is
+    inlined at trace time — jitted pipelines are unaffected.
+    """
+    face_verts, face_attrs, config, orig_id, clip_ovf = _clip_space_faces(
+        vertices, vertex_colors, faces, h, w, config, clip, inc=inc
+    )
+    pixels, fid, zbuf, overflow = rasterize_screen(
+        face_verts, face_attrs, background, config
+    )
+    if clip:
+        # Clipped sub-triangles live at compacted slots; report the
+        # ORIGINAL face id like the reference would.
+        fid = jnp.where(fid >= 0, orig_id[jnp.maximum(fid, 0)], fid)
+    return pixels, fid, zbuf, overflow | clip_ovf
+
+
+def _maybe_incidence(faces, num_verts):
+    """Incidence table for concrete faces; None under tracing."""
+    if isinstance(faces, jax.core.Tracer):
+        return None
+    import numpy as np
+
+    return _face_incidence(np.asarray(faces), num_verts)
 
 
 def rasterise(
@@ -120,15 +215,13 @@ def rasterise(
         background = jnp.zeros((h, w, c), jnp.float32)
     config = config or RasterConfig()
 
-    vertices = jnp.asarray(vertices, jnp.float32)
-    vertex_colors = jnp.asarray(vertex_colors, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
-
-    face_verts, face_attrs, config, _, _ = _clip_space_faces(
-        vertices, vertex_colors, faces, h, w, config, clip
-    )
-    pixels, _, _, _ = rasterize_screen(
-        face_verts, face_attrs, background, config
+    vertices = jnp.asarray(vertices, jnp.float32)
+    pixels, _, _, _ = _rasterise_core(
+        jnp.asarray(background, jnp.float32), vertices,
+        jnp.asarray(vertex_colors, jnp.float32),
+        faces, h, w, config, clip,
+        inc=_maybe_incidence(faces, vertices.shape[0]),
     )
     return pixels
 
@@ -149,19 +242,14 @@ def rasterise_with_aux(
     """
     h, w, c = background.shape
     config = config or RasterConfig()
-    face_verts, face_attrs, config, orig_id, clip_ovf = _clip_space_faces(
-        jnp.asarray(vertices, jnp.float32),
+    faces = jnp.asarray(faces, jnp.int32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    return _rasterise_core(
+        jnp.asarray(background, jnp.float32), vertices,
         jnp.asarray(vertex_colors, jnp.float32),
-        jnp.asarray(faces, jnp.int32), h, w, config, clip,
+        faces, h, w, config, clip,
+        inc=_maybe_incidence(faces, vertices.shape[0]),
     )
-    pixels, fid, zbuf, overflow = rasterize_screen(
-        face_verts, face_attrs, background, config
-    )
-    if clip:
-        # Clipped sub-triangles live at compacted slots; report the
-        # ORIGINAL face id like the reference would.
-        fid = jnp.where(fid >= 0, orig_id[jnp.maximum(fid, 0)], fid)
-    return pixels, fid, zbuf, overflow | clip_ovf
 
 
 def suggest_raster_config(

@@ -152,3 +152,33 @@ def test_suggest_config_streaming_expand_cap():
         config=dirt_tpu.RasterConfig(streaming=True))
     tiles = (256 // cfg.tile_h) * (256 // cfg.tile_w)
     assert cfg.expand_cap is not None and cfg.expand_cap >= tiles
+
+
+def test_incidence_gather_grads_match_traced_faces():
+    """The concrete-faces incidence-table vjp (row gather) must equal the
+    traced-faces fallback (XLA scatter-add transpose) exactly."""
+    rng = np.random.RandomState(31)
+    verts = np.zeros((25, 4), np.float32)
+    verts[:, :2] = rng.uniform(-0.9, 0.9, (25, 2))
+    verts[:, 2] = rng.uniform(-0.5, 0.5, 25)
+    verts[:, 3] = 1.0
+    faces = jnp.asarray(rng.randint(0, 25, (18, 3)), jnp.int32)
+    colors = jnp.asarray(rng.rand(25, 3).astype(np.float32))
+    bg = jnp.asarray(rng.rand(64, 128, 3).astype(np.float32))
+    verts = jnp.asarray(verts)
+
+    def loss(v, c, f):
+        img = dirt_tpu.rasterise(bg, v, c, f)
+        return jnp.sum(img * jnp.sin(img))
+
+    # Concrete faces -> incidence path (faces is a plain array here).
+    g_inc = jax.grad(loss, argnums=(0, 1))(verts, colors, faces)
+    # Traced faces -> plain gather + autodiff scatter transpose.
+    g_tr = jax.jit(jax.grad(loss, argnums=(0, 1)))(verts, colors, faces)
+    # Same math, different f32 reduction order (gather-sum vs the
+    # scatter-add transpose): tolerance covers reassociation only.
+    np.testing.assert_allclose(
+        np.asarray(g_inc[0]), np.asarray(g_tr[0]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_inc[1]), np.asarray(g_tr[1]), rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(g_inc[0])).max() > 0

@@ -1,5 +1,6 @@
 """Forward kernel vs the slow oracle (SURVEY.md section 4: allclose oracle)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,9 +19,14 @@ def _screen_face(verts_xy, z=0.0, invw=1.0):
     ).astype(np.float32)
 
 
+_raster_jit = jax.jit(rasterize_screen, static_argnums=(3,))
+
+
 def _run_both(face_verts, face_attrs, background, config=None):
     config = config or RasterConfig()
-    pix, fid, zbuf, _ = rasterize_screen(
+    # Jitted: eager op-by-op execution pays a tiny XLA compile per op
+    # (12+ s for one eager binning call on this 1-core CPU).
+    pix, fid, zbuf, _ = _raster_jit(
         jnp.asarray(face_verts), jnp.asarray(face_attrs),
         jnp.asarray(background), config,
     )
@@ -289,9 +295,9 @@ def test_packed_engine_bitwise_matches_dense():
 
     args = (jnp.asarray(face_verts), jnp.asarray(face_attrs),
             jnp.asarray(background))
-    pix_d, fid_d, z_d, _ = rasterize_screen(
+    pix_d, fid_d, z_d, _ = _raster_jit(
         *args, RasterConfig(engine="dense"))
-    pix_p, fid_p, z_p, _ = rasterize_screen(*args, PACKED)
+    pix_p, fid_p, z_p, _ = _raster_jit(*args, PACKED)
     np.testing.assert_array_equal(np.asarray(fid_d), np.asarray(fid_p))
     np.testing.assert_allclose(
         np.asarray(pix_d), np.asarray(pix_p), atol=1e-6)

@@ -6,6 +6,8 @@ autodiff oracle and finite differences); boundary gradients are approximate
 oracle's implementation of the same model, plus directional sanity.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,19 +27,27 @@ def _screen_face(verts_xy, z=0.0, invw=1.0):
     ).astype(np.float32)
 
 
-def _grads(face_verts, face_attrs, background, grad_pixels, config=None):
-    """Production backward: vjp of rasterize_screen's pixel output."""
-    config = config or RasterConfig()
-
+@functools.partial(jax.jit, static_argnums=(4,))
+def _grads_jit(fv, fa, bg, gp, config):
+    # Jitted: op-by-op eager execution pays a tiny per-op XLA compile
+    # each (too small for the persistent cache) — measured 12+ s for ONE
+    # eager binning call vs 1.7 s jit-compiled on this 1-core CPU.
     def render(fv, fa, bg):
         return rasterize_screen(fv, fa, bg, config)[0]
 
-    out, vjp_fn = jax.vjp(
-        render, jnp.asarray(face_verts), jnp.asarray(face_attrs),
-        jnp.asarray(background),
+    out, vjp_fn = jax.vjp(render, fv, fa, bg)
+    return (out,) + tuple(vjp_fn(gp))
+
+
+def _grads(face_verts, face_attrs, background, grad_pixels, config=None):
+    """Production backward: vjp of rasterize_screen's pixel output."""
+    out, d_fv, d_fa, d_bg = _grads_jit(
+        jnp.asarray(face_verts), jnp.asarray(face_attrs),
+        jnp.asarray(background), jnp.asarray(grad_pixels),
+        config or RasterConfig(),
     )
-    d_fv, d_fa, d_bg = vjp_fn(jnp.asarray(grad_pixels))
-    return np.asarray(out), np.asarray(d_fv), np.asarray(d_fa), np.asarray(d_bg)
+    return (np.asarray(out), np.asarray(d_fv), np.asarray(d_fa),
+            np.asarray(d_bg))
 
 
 def _oracle_grads(face_verts, face_attrs, background, grad_pixels):
@@ -293,3 +303,47 @@ def test_packed_backward_matches_oracle():
     np.testing.assert_allclose(d_bg, ref_d_bg, atol=1e-5)
     np.testing.assert_allclose(d_fa, ref_d_fa, rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(d_fv, ref_d_fv, rtol=5e-3, atol=5e-3)
+
+
+def test_fused_prologue_matches_reference_construction():
+    """fused_neighbor_prologue (strip-halo Pallas pass) == the XLA
+    shifts + bit combine + flat_subtile_swap reference, bitwise for the
+    integer planes."""
+    from dirt_tpu.ops.packed_bwd import fused_neighbor_prologue
+    from dirt_tpu.ops.raster_bwd import boundary_cases, neighbor_maps
+    from dirt_tpu.ops.raster_fwd import BIG_Z, flat_subtile_swap
+
+    rng = np.random.RandomState(17)
+    hp, wp, c = 32, 256, 3
+    fid_p = jnp.asarray(rng.randint(-2, 9, (hp, wp)), jnp.int32)
+    zbuf_p = jnp.asarray(
+        np.where(rng.rand(hp, wp) < 0.2, BIG_Z,
+                 rng.randn(hp, wp)).astype(np.float32))
+    pix_cf = jnp.asarray(rng.rand(c, hp, wp).astype(np.float32))
+    grad_cf = jnp.asarray(rng.randn(c, hp, wp).astype(np.float32))
+
+    nbr = neighbor_maps(fid_p, zbuf_p, pix_cf, grad_cf)
+    bits_ref = jnp.zeros((hp, wp), jnp.int32)
+    for n, (_, _, _, strict) in enumerate(boundary_cases()):
+        nfid, nz, _ = nbr[n]
+        pair = (fid_p != nfid) & (nfid != -2)
+        front = (zbuf_p < nz) if strict else (zbuf_p <= nz)
+        bits_ref = bits_ref | ((pair & front).astype(jnp.int32) << n)
+    sval_ref = jnp.stack([nbr[n][2] for n in range(4)])
+
+    fid_f, bits_f, pix_f, grad_f, sval_f = fused_neighbor_prologue(
+        fid_p, zbuf_p, pix_cf, grad_cf)
+
+    np.testing.assert_array_equal(
+        np.asarray(fid_f), np.asarray(flat_subtile_swap(fid_p)))
+    np.testing.assert_array_equal(
+        np.asarray(bits_f), np.asarray(flat_subtile_swap(bits_ref)))
+    np.testing.assert_allclose(
+        np.asarray(pix_f), np.asarray(flat_subtile_swap(pix_cf)),
+        atol=0.0)
+    np.testing.assert_allclose(
+        np.asarray(grad_f), np.asarray(flat_subtile_swap(grad_cf)),
+        atol=0.0)
+    np.testing.assert_allclose(
+        np.asarray(sval_f), np.asarray(flat_subtile_swap(sval_ref)),
+        rtol=1e-6, atol=1e-6)

@@ -150,7 +150,13 @@ def test_segment_rows_sorted_empty_and_dense_ids():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def _grad_pair(tex, uv, wrap, custom):
+    # Jitted: eager op-by-op execution compiles each tiny op separately
+    # (the sort-based custom VJP is ~100 ops), dominating test time.
     def loss(tex, uv):
         out = sample_texture(tex, uv, wrap=wrap, custom_vjp=custom)
         return jnp.sum(out * jnp.cos(out * 3.0))
