@@ -43,8 +43,10 @@ def test_face_sharded_forward_matches_single_device():
         out = rasterise_face_sharded(
             bg, verts, colors, faces, mesh, config=CFG
         )
+    # f32 interpolation noise between differently-fused pipelines (the
+    # public wrapper jits internally since r5); a few pixels at ~1e-5.
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(single), atol=1e-6
+        np.asarray(out), np.asarray(single), atol=3e-5
     )
 
 
@@ -96,7 +98,9 @@ def test_face_sharded_under_jit_with_z_ties():
                 b, v, c, faces, mesh, config=CFG
             )
         )(bg, verts, colors)
+    # f32 interpolation noise between differently-fused pipelines (the
+    # public wrapper jits internally since r5); a few pixels at ~1e-5.
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(single), atol=1e-6
+        np.asarray(out), np.asarray(single), atol=3e-5
     )
     assert set(np.unique(np.asarray(fid_1))) == {-1, 0}
