@@ -320,6 +320,12 @@ class PackedBins(NamedTuple):
     # POOL_ALIGN-row blocks, then gathers each face's
     # <= ceil(expand_cap/POOL_ALIGN) blocks.
     pool_offs: jax.Array | None = None
+    # [budget_rows, table_width] f32, or None: the gathered per-entry
+    # face-table rows. NOT set by bin_faces_packed — the forward path
+    # (ops.raster._forward_impl) attaches its gather so the backward
+    # reuses it from the custom_vjp residuals instead of re-gathering
+    # ~19 MB (same table; pure data, no autodiff flow through it).
+    rows: jax.Array | None = None
 
 
 def packed_grid(height: int, width: int, tile_h: int, tile_w: int):

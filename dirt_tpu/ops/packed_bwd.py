@@ -635,13 +635,20 @@ def packed_entry_rows(prep: _PackedBwdPrep, c_lo: int = 0,
     tile_h, tile_w = prep.tile_h, prep.tile_w
     strips_n, px_n = prep.strips_n, prep.px_n
 
-    table2 = pack_face_table_v2(prep.geo, prep.att)
-    width = table2.shape[1]
+    from dirt_tpu.ops.raster_fwd import packed_table_width
+
+    width = packed_table_width(channels)
     col_one = COL_ATT + 3 * channels
     assert col_one < width, "packed table needs a spare ones column"
-    table2 = table2.at[:, col_one].set(1.0)
-    with jax.named_scope("dirt_packed_bwd_gather"):
-        rows = table2[bins.entries // 8]
+    if bins.rows is not None:
+        # The forward already gathered the entry rows (ones column
+        # pre-set) and handed them through the residuals — reuse.
+        rows = bins.rows
+    else:
+        table2 = pack_face_table_v2(prep.geo, prep.att)
+        table2 = table2.at[:, col_one].set(1.0)
+        with jax.named_scope("dirt_packed_bwd_gather"):
+            rows = table2[bins.entries // 8]
 
     budget_rows = bins.entries.shape[0]
     budget_chunks = budget_rows // PACK_CHUNK

@@ -219,9 +219,22 @@ def _forward_impl(face_verts_screen, face_attrs, background, config):
                 work_cap=config.work_cap,
             )
         with jax.named_scope("dirt_raster_fwd_packed"):
+            from dirt_tpu.ops.raster_fwd import COL_ATT
+
             table2 = pack_face_table_v2(geo, att)
+            # Pre-set the backward's "ones" indicator column (ignored by
+            # the forward kernel) and gather the entry rows ONCE: the
+            # rows ride the custom_vjp residuals via ``bins.rows`` so
+            # the backward skips its own ~19 MB re-gather.
+            col_one = COL_ATT + 3 * channels
+            if col_one < table2.shape[1]:
+                table2 = table2.at[:, col_one].set(1.0)
+            with jax.named_scope("dirt_packed_gather"):
+                rows = table2[bins.entries // 8]
+            bins = bins._replace(rows=rows)
             pixels_chw, fid, zbuf = raster_forward_packed(
-                table2, bins, bg_chw, tile_h=tile_h, tile_w=tile_w
+                table2, bins, bg_chw, tile_h=tile_h, tile_w=tile_w,
+                rows=rows,
             )
         pixels = jnp.transpose(pixels_chw, (1, 2, 0))[:height, :width]
         return (

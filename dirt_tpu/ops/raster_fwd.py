@@ -556,6 +556,7 @@ def _fwd_packed_kernel(
 def raster_forward_packed(
     table2, bins, background_chw,
     *, tile_h: int, tile_w: int, interpret: bool | None = None,
+    rows=None,
 ):
     """Forward pass over packed subtile bins (``bin_faces_packed``).
 
@@ -563,6 +564,9 @@ def raster_forward_packed(
         table2: [F + 1, W] from :func:`pack_face_table_v2`.
         bins: PackedBins.
         background_chw: [C, Hp, Wp] f32 padded to tile multiples.
+        rows: optional precomputed ``table2[bins.entries // 8]`` (the
+            caller may gather once and also hand the rows to the
+            backward via ``bins.rows``).
     Returns:
         pixels [C, Hp, Wp] f32, fid [Hp, Wp] int32, zbuf [Hp, Wp] f32.
     """
@@ -575,8 +579,9 @@ def raster_forward_packed(
     if interpret is None:
         interpret = cfg.use_interpret()
 
-    with jax.named_scope("dirt_packed_gather"):
-        rows = table2[bins.entries // 8]                   # [rows, W]
+    if rows is None:
+        with jax.named_scope("dirt_packed_gather"):
+            rows = table2[bins.entries // 8]               # [rows, W]
     (bg_flat,) = flat_subtile_swap_pallas([background_chw])
     meta = jnp.concatenate(
         [bins.chunk_tile, bins.start_block, bins.n_iters,
