@@ -193,8 +193,18 @@ def bench_size(size, config=None, engine=None):
         b, c, co, faces, config=config, clip=False
     )
 
-    t_full, t_full_med = device_time_stats(step, (clip, colors, bg, weights))
-    t_fwd, t_fwd_med = device_time_stats(fwd, (clip, colors, bg, weights))
+    # Small sizes need a wider rep spread: the differencing wants
+    # (r2 - r1) * t well above the ~30 ms transport jitter, and a ~3 ms
+    # 256^2 step at the default spread of 10 reps is marginal (one run
+    # produced an invalid "0.00 ms" min before benchtime dropped
+    # non-positive diffs).
+    r2 = 12 if size >= 1024 else 42
+    t_full, t_full_med = device_time_stats(
+        step, (clip, colors, bg, weights), r2=r2
+    )
+    t_fwd, t_fwd_med = device_time_stats(
+        fwd, (clip, colors, bg, weights), r2=r2
+    )
     mpix = size * size / 1e6
     return {
         "size": size,

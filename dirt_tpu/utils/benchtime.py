@@ -56,7 +56,8 @@ def device_time(fn, example_args, r1: int = 2, r2: int = 12,
 
 
 def device_time_stats(fn, example_args, r1: int = 2, r2: int = 12,
-                      samples: int = 3) -> tuple[float, float]:
+                      samples: int = 3,
+                      _retry: bool = True) -> tuple[float, float]:
     """(min, median) seconds per invocation, from per-sample estimates.
 
     Transport noise on the tunneled chip is one-sided (spikes), so the
@@ -64,6 +65,14 @@ def device_time_stats(fn, example_args, r1: int = 2, r2: int = 12,
     callers can print the spread instead of a bare 3-digit number
     (run-to-run variance is ~15 percent — single-digit perf claims need
     both values).
+
+    A sample whose difference comes out non-positive (every r1 baseline
+    run was spiked harder than the r2 run — seen when (r2 - r1) * t is
+    of the same order as the ~30 ms RTT jitter) is INVALID, not a fast
+    measurement: such samples are dropped, and if none survive the whole
+    measurement retries once with 4x the rep spread instead of
+    reporting a nonsense "0.00 ms" (observed once on the 256^2 bench
+    line, r5).
     """
     f1 = _loop_runner(fn, example_args, r1)
     f2 = _loop_runner(fn, example_args, r2)
@@ -83,7 +92,16 @@ def device_time_stats(fn, example_args, r1: int = 2, r2: int = 12,
     # Baseline (r1 reps) uses its min: its own spikes would *shrink* the
     # difference and bias every estimate low.
     t1 = min(t1s)
-    ests = sorted(max(t2 - t1, 1e-9) / (r2 - r1) for t2 in t2s)
+    ests = sorted(
+        (t2 - t1) / (r2 - r1) for t2 in t2s if t2 - t1 > 0
+    )
+    if not ests:
+        if _retry:
+            return device_time_stats(
+                fn, example_args, r1, r1 + 4 * (r2 - r1), samples,
+                _retry=False,
+            )
+        ests = [1e-9]
     t_min = ests[0]
     t_med = ests[len(ests) // 2]
     return t_min, t_med
